@@ -1,0 +1,234 @@
+"""Retrieval metrics, computed on device with fixed shapes.
+
+Replaces the reference's CPU metric stack (pytorch-metric-learning
+``AccuracyCalculator`` + torchmetrics.retrieval + faiss,
+``main/engine/accuracy_calculator.py``) with masked, jit-safe jnp math.
+
+Semantics preserved:
+
+- multi-label relevance = label-vector dot product > 0
+  (accuracy_calculator.py:31-37); integer labels = equality;
+- lone queries (no relevant gallery item) are excluded from every mean
+  (PML's ``not_lone_query_mask`` plumbing, accuracy_calculator.py:331-337);
+- when query set == gallery, self-matches are dropped (get_knn.py:10-24);
+- ``map`` follows torchmetrics.RetrievalMAP: AP denominator = number of
+  positives *within the retrieved list* (accuracy_calculator.py:156-167);
+- ``map_at_r`` follows PML: denominator R = total relevant, positions > R
+  don't count;
+- ``maphashing`` is per-query mAP@topk over Hamming ranking — with the
+  accumulator bug at accuracy_calculator.py:237 (``topkmap += per_query``
+  commented out, so the reference always returns 0.0) deliberately FIXED;
+- ``bit_balance``/``worst_bit_balance`` over gallery sign codes
+  (accuracy_calculator.py:188-200);
+- ``precision_recall_curve`` = the cumulative P/R curves of
+  ``calculate_pr_rc_hashing`` (accuracy_calculator.py:249-287), returned as
+  arrays instead of a CSV side effect.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from irw_tpu.ops.knn import knn
+from irw_tpu.utils.label_matrix import create_label_matrix
+
+DEFAULT_RECALL_KS = (1, 2, 4, 8, 10, 16, 20, 30, 32, 100)
+
+
+def relevance_counts(query_labels, gallery_labels, same_source: bool = False):
+    """Per-query number of relevant gallery items (drop self if same
+    source).  Returns (counts, not_lone_mask)."""
+    rel = create_label_matrix(query_labels, gallery_labels)
+    counts = rel.sum(axis=1)
+    if same_source:
+        counts = counts - 1.0
+    return counts, counts > 0
+
+
+# --- metric kernels on the ranked relevance matrix ---------------------------
+# rel: (Q, K) float 0/1 relevance of the ranked top-K, valid: (Q,) bool
+
+
+def _masked_mean(values, valid):
+    valid = valid.astype(values.dtype)
+    return jnp.sum(values * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def average_precision(rel, k: int | None = None):
+    """Per-query AP over the (optionally truncated) ranked list; denominator
+    = positives in the list (torchmetrics.RetrievalMAP semantics — also the
+    maphashing formula once its accumulator bug is fixed)."""
+    if k is not None:
+        rel = rel[:, :k]
+    ranks = jnp.arange(1, rel.shape[1] + 1, dtype=rel.dtype)
+    cum = jnp.cumsum(rel, axis=1)
+    precision_at_hit = (cum / ranks) * rel
+    positives = rel.sum(axis=1)
+    return precision_at_hit.sum(axis=1) / jnp.maximum(positives, 1.0)
+
+
+def average_precision_at_r(rel, num_relevant):
+    """PML-style mAP@R: only ranks ≤ R count, denominator is R (the total
+    number of relevant items, capped at the list length)."""
+    q, k = rel.shape
+    ranks = jnp.arange(1, k + 1, dtype=rel.dtype)
+    r = jnp.minimum(num_relevant.astype(rel.dtype), float(k))[:, None]
+    in_r = (ranks[None, :] <= r).astype(rel.dtype)
+    cum = jnp.cumsum(rel, axis=1)
+    precision_at_hit = (cum / ranks) * rel * in_r
+    return precision_at_hit.sum(axis=1) / jnp.maximum(r[:, 0], 1.0)
+
+
+def r_precision(rel, num_relevant):
+    """Precision at rank R (R = total relevant, capped at list length)."""
+    q, k = rel.shape
+    ranks = jnp.arange(1, k + 1, dtype=rel.dtype)
+    r = jnp.minimum(num_relevant.astype(rel.dtype), float(k))[:, None]
+    hits_in_r = (rel * (ranks[None, :] <= r)).sum(axis=1)
+    return hits_in_r / jnp.maximum(r[:, 0], 1.0)
+
+
+def recall_at_k(rel, k: int):
+    """1 if any relevant item in the top-k (reference recall_at_k,
+    accuracy_calculator.py:50-52)."""
+    return (rel[:, :k].sum(axis=1) > 0).astype(jnp.float32)
+
+
+def precision_at_k(rel, k: int):
+    return rel[:, :k].sum(axis=1) / float(k)
+
+
+def mean_reciprocal_rank(rel):
+    k = rel.shape[1]
+    ranks = jnp.arange(1, k + 1, dtype=rel.dtype)
+    first_hit = jnp.where(rel > 0, ranks[None, :], jnp.inf).min(axis=1)
+    return jnp.where(jnp.isfinite(first_hit), 1.0 / first_hit, 0.0)
+
+
+def bit_balance(codes):
+    """Per-bit balance over gallery sign codes: 1 = 50/50 split, 0 = dead
+    bit (accuracy_calculator.py:188-194)."""
+    frac_positive = (codes > 0).astype(jnp.float32).mean(axis=0)
+    return 1.0 - 2.0 * jnp.abs(frac_positive - 0.5)
+
+
+def precision_recall_curve(rel, num_relevant, valid):
+    """Cumulative precision/recall over the full ranked gallery, averaged
+    over valid queries (calculate_pr_rc_hashing, accuracy_calculator.py:249-287).
+
+    Returns (precision, recall), each (K,).
+    """
+    k = rel.shape[1]
+    ranks = jnp.arange(1, k + 1, dtype=rel.dtype)
+    cum = jnp.cumsum(rel, axis=1)
+    prec = cum / ranks[None, :]
+    recall = cum / jnp.maximum(num_relevant.astype(rel.dtype), 1.0)[:, None]
+    # the reference additionally requires recall to reach 1.0 (all relevant
+    # items inside the ranked list)
+    ok = valid & (recall[:, -1] >= 1.0 - 1e-6)
+    w = ok.astype(rel.dtype)[:, None]
+    denom = jnp.maximum(w.sum(), 1.0)
+    return (prec * w).sum(axis=0) / denom, (recall * w).sum(axis=0) / denom
+
+
+# --- the full suite ----------------------------------------------------------
+
+
+def determine_k(query_labels, gallery_labels, k, same_source: bool):
+    """Resolve the retrieval depth.  ``"max_bin_count"`` = the largest
+    per-query relevant count (PML determine_k semantics, used by the
+    training-time batch-mAP proxy, batch_map.py:9-21)."""
+    n_gallery = int(gallery_labels.shape[0])
+    if k in (None, "max_bin_count"):
+        counts, _ = relevance_counts(query_labels, gallery_labels, same_source)
+        return max(int(counts.max()), 1)
+    return min(int(k), n_gallery - int(same_source))
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "same_source", "recall_ks", "with_curve"))
+def _ranked_relevance(
+    query,
+    query_labels,
+    gallery,
+    gallery_labels,
+    k: int,
+    metric: str,
+    same_source: bool,
+    recall_ks,
+    with_curve: bool,
+):
+    idx, _ = knn(query, gallery, k=k, metric=metric, same_source=same_source)
+    if gallery_labels.ndim == 1:
+        knn_labels = gallery_labels[idx]
+    else:
+        knn_labels = gallery_labels[idx.reshape(-1)].reshape(idx.shape + (gallery_labels.shape[-1],))
+    rel = _rel_of(query_labels, knn_labels)
+    counts, valid = relevance_counts(query_labels, gallery_labels, same_source)
+
+    out = {
+        "map": _masked_mean(average_precision(rel), valid),
+        "map_at_r": _masked_mean(average_precision_at_r(rel, counts), valid),
+        "r_precision": _masked_mean(r_precision(rel, counts), valid),
+        "precision_at_1": _masked_mean(rel[:, 0], valid),
+        "mean_reciprocal_rank": _masked_mean(mean_reciprocal_rank(rel), valid),
+    }
+    for rk in recall_ks:
+        if rk <= rel.shape[1]:
+            out[f"recall_at_{rk}"] = _masked_mean(recall_at_k(rel, rk), valid)
+    if with_curve:
+        out["pr_curve"], out["rc_curve"] = precision_recall_curve(rel, counts, valid)
+    return out
+
+
+def _rel_of(query_labels, knn_labels):
+    """Relevance of each ranked item: equality for int labels, shared-
+    positive for multi-label vectors (accuracy_calculator.py:31-37)."""
+    if query_labels.ndim == 1:
+        return (query_labels[:, None] == knn_labels).astype(jnp.float32)
+    prod = (query_labels[:, None, :].astype(jnp.float32) * knn_labels.astype(jnp.float32)).sum(-1)
+    return (prod > 0).astype(jnp.float32)
+
+
+def compute_retrieval_metrics(
+    query,
+    query_labels,
+    gallery,
+    gallery_labels,
+    metric: str = "cosine",
+    k: int | str | None = None,
+    same_source: bool = False,
+    recall_ks: Sequence[int] = DEFAULT_RECALL_KS,
+    with_curve: bool = False,
+    with_hashing_stats: bool = False,
+):
+    """One call = the reference's CustomCalculator.get_accuracy
+    (accuracy_calculator.py:293-363) on device.
+
+    Returns a dict of python floats (plus arrays for the PR curve).
+    ``metric='hamming'`` on ±1 codes gives the hashing protocol, including
+    the fixed ``maphashing`` (== ``map`` under Hamming ranking at depth k).
+    """
+    k_resolved = determine_k(query_labels, gallery_labels, k, same_source)
+    out = _ranked_relevance(
+        query,
+        query_labels,
+        gallery,
+        gallery_labels,
+        k=k_resolved,
+        metric=metric,
+        same_source=same_source,
+        recall_ks=tuple(recall_ks),
+        with_curve=with_curve,
+    )
+    out = {key: (val if key.endswith("curve") else float(val)) for key, val in out.items()}
+    if with_hashing_stats:
+        bal = bit_balance(gallery)
+        out["bit_balance"] = float(bal.mean())
+        out["worst_bit_balance"] = float(bal.min())
+        out["maphashing"] = out["map"]
+    out["num_k"] = k_resolved
+    return out

@@ -1,0 +1,110 @@
+"""Fused Pallas TPU kernel for the multi-level Haar lifting DWT.
+
+This is the hot data-path op: the reference computed it per-sample on CPU
+loader workers (SURVEY §3.1 ★HOT); here a whole batch is transformed in one
+kernel launch with a single HBM→VMEM→HBM round trip for *all* levels —
+XLA's fusion would otherwise materialise each level.
+
+Layout strategy: W rides the lane dimension, H the sublanes.  The even/odd
+lifting split along H is a free sublane reshape ``(H, W) → (H/2, 2, W)``;
+the split along W is done by transposing the two minor dims (a cheap VMEM
+register shuffle) and reusing the sublane path.  All lifting algebra matches
+:mod:`irw_tpu.ops.wavelets.lifting` (√2 1D normalisation + v6 2D scales),
+so the kernel is drop-in for the jnp path and is tested against it.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SQRT2 = math.sqrt(2.0)
+V6 = (0.5, 1.0, 1.0, SQRT2)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pair_lift_sublane(x):
+    """Haar lifting along axis -2 (must be even): (..., 2M, W) → s, d each
+    (..., M, W)."""
+    *lead, h, w = x.shape
+    xr = x.reshape(*lead, h // 2, 2, w)
+    even = xr[..., 0, :]
+    odd = xr[..., 1, :]
+    d = odd - even
+    s = even + 0.5 * d
+    return s * SQRT2, d / SQRT2
+
+
+def _haar_level(x):
+    """One 2D Haar lifting level on (..., H, W) → (ll, lh, hl, hh)."""
+    s, d = _pair_lift_sublane(x)  # rows pass
+    s_t = jnp.swapaxes(s, -1, -2)
+    d_t = jnp.swapaxes(d, -1, -2)
+    ll_t, hl_t = _pair_lift_sublane(s_t)  # cols pass on transposed minors
+    lh_t, hh_t = _pair_lift_sublane(d_t)
+    ll = jnp.swapaxes(ll_t, -1, -2)
+    hl = jnp.swapaxes(hl_t, -1, -2)
+    lh = jnp.swapaxes(lh_t, -1, -2)
+    hh = jnp.swapaxes(hh_t, -1, -2)
+    return ll * V6[0], lh * V6[1], hl * V6[2], hh * V6[3]
+
+
+def _haar_kernel(levels: int, x_ref, out_ref):
+    x = x_ref[...]
+    for lvl in range(levels):
+        ll, lh, hl, hh = _haar_level(x)
+        if lvl < levels - 1:
+            # recurse on the scaled LL, like HaarLifting.forward
+            # (custom_transforms.py:48-55) recursing on fast_haar_2d_op output
+            x = ll
+    out_ref[:, 0] = ll
+    out_ref[:, 1] = lh
+    out_ref[:, 2] = hl
+    out_ref[:, 3] = hh
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "tile_n", "interpret"))
+def haar_multi_level_pallas(x, levels: int = 1, tile_n: int = 8, interpret: bool | None = None):
+    """Multi-level Haar lifting DWT, coarsest-level subbands only (the
+    reference CustomTransform's coarse_only output).
+
+    Args:
+      x: (N, H, W) float array; H, W divisible by 2**levels.
+    Returns:
+      (N, 4, H/2ˡ, W/2ˡ) stacked [LL, LH, HL, HH].
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h, w = x.shape
+    assert h % (2**levels) == 0 and w % (2**levels) == 0, (h, w, levels)
+    ho, wo = h // 2**levels, w // 2**levels
+    pad_n = (-n) % tile_n
+    if pad_n:
+        x = jnp.concatenate([x, jnp.zeros((pad_n, h, w), x.dtype)], axis=0)
+    grid = ((n + pad_n) // tile_n,)
+    out = pl.pallas_call(
+        functools.partial(_haar_kernel, levels),
+        out_shape=jax.ShapeDtypeStruct((n + pad_n, 4, ho, wo), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_n, 4, ho, wo), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(x)
+    return out[:n]
+
+
+def haar_dwt2_pallas(x, interpret: bool | None = None):
+    """Single-level convenience wrapper: (N, H, W) → (N, 4, H/2, W/2)."""
+    return haar_multi_level_pallas(x, levels=1, interpret=interpret)

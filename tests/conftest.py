@@ -1,0 +1,33 @@
+"""Test harness: simulate an 8-device TPU mesh on CPU.
+
+The reference has no multi-device tests at all (SURVEY §4); here every test
+runs against 8 virtual XLA CPU devices so sharding/collective code paths are
+exercised on every run.  Must set the env vars before jax imports.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# the image's site hooks force JAX_PLATFORMS=axon; the config flag wins
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual devices, got {devs}"
+    return devs
+
+
+@pytest.fixture()
+def rng():
+    return np.random.RandomState(0)
