@@ -1,0 +1,95 @@
+"""Model registry: explicit name → constructor map.
+
+Replaces the reference's ``getattr(models_module, config.name)`` dispatch
+(main/getter.py:235-244) with a declared registry; names cover the backbone
+zoo of main/models/net.py:20-414 so existing model configs resolve.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+MODEL_REGISTRY: dict[str, Callable] = {}
+
+
+def register_model(name: str):
+    def wrap(ctor):
+        MODEL_REGISTRY[name] = ctor
+        return ctor
+
+    return wrap
+
+
+def _populate():
+    from irw_tpu.models import baselines, hashing_nets, mtwavenet, multi_dino, wresnet
+    from irw_tpu.models.resnet import resnet18, resnet34, resnet50, resnet101
+    from irw_tpu.models.vit import make_vit
+
+    entries = {
+        # plain trunks (wrapped by RetrievalNet through the getter)
+        "resnet18": resnet18,
+        "resnet34": resnet34,
+        "resnet50": resnet50,
+        "resnet101": resnet101,
+        "vit_small": lambda **kw: make_vit("vit_small", **kw),
+        "vit_base": lambda **kw: make_vit("vit_base", **kw),
+        "vit_tiny": lambda **kw: make_vit("vit_tiny", **kw),
+        "deit_small": lambda **kw: make_vit("deit_small", **kw),
+        "dino": lambda **kw: make_vit("dinov2_vits14", **kw),
+        # CE / hashing single trunks (resnet_ce.py)
+        "resnet_ce": hashing_nets.ResNetCE,
+        "resnet18_ce": lambda **kw: hashing_nets.ResNetCE(depth=18, **kw),
+        "resnet50_tanh": hashing_nets.ResNetHashing,
+        "resnet_hashing_2": hashing_nets.ResNetHashing,
+        "resnet_hashing_alpha": hashing_nets.ResNetHashingAlpha,
+        "resnet50_dsch": hashing_nets.ResNet50DSCH,
+        "resnet50_mod": hashing_nets.ResNet50Mod,
+        # wavelet CNN families (wresnet.py)
+        "wresnet": wresnet.WaveResNet,
+        "wresnet_ce": wresnet.WaveResNetCE,
+        "wcnn": lambda **kw: wresnet.WCNN(ce=False, **kw),
+        "wcnn_ce": lambda **kw: wresnet.WCNN(ce=True, **kw),
+        "wcnn_all_subs": wresnet.WCNN_ALL,
+        "wcnn_attention": lambda **kw: wresnet.WCNNAttention(ce=False, **kw),
+        "wcnn_attention_ce": lambda **kw: wresnet.WCNNAttention(ce=True, **kw),
+        # stage-interleaved multi-branch (mtwavenet.py)
+        "mtwavenet": lambda **kw: mtwavenet.FourBranchResNet(depth=18, **kw),
+        "mtwavenet50": mtwavenet.FourBranchResNet50,
+        "mtwavenet50_fusion": mtwavenet.FourBranchResNet50Fusion,
+        "hybrid_mtwavenet_ce": mtwavenet.HybridMultiBranch,
+        "hybrid_mtwavenet_v2_ce": mtwavenet.HybridMultiBranchV2,
+        # DINO families (dino_models.py, multi_dino_attention.py, dino_baseline.py)
+        "dino_ce": baselines.DinoModelCE,
+        "multi_dino": baselines.MultiDinoModel,
+        "multidino_attention": multi_dino.MultiDinoAttention,
+        "multidino_attention_hashing": multi_dino.MultiDinoHashing,
+        "multidino_attention_hashing_ortho": multi_dino.MultiDinoHashing,
+        "multidino_hashing_tf": lambda **kw: multi_dino.MultiDinoHashing(
+            tanh_train=True, **kw
+        ),
+        "shared_dino_hashing": multi_dino.SharedDinoHashing,
+        "prompted_shared_dino_hashing": multi_dino.PromptedSharedDinoHashing,
+        "pretrained_multidino_hashing": multi_dino.PretrainedMultiDinoHashing,
+        "dino_hash_baseline": baselines.DINOHashBaseline,
+        "single_band_net": baselines.SingleBandNet,
+        "detail_tester": baselines.DetailTesterNet,
+    }
+    MODEL_REGISTRY.update(entries)
+
+
+def get_model(name: str, **kwargs):
+    """Instantiate a registered model by name (the getter's model path)."""
+    if not MODEL_REGISTRY:
+        _populate()
+    if name not in MODEL_REGISTRY:
+        _populate()
+    try:
+        ctor = MODEL_REGISTRY[name]
+    except KeyError as exc:
+        raise ValueError(
+            f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}"
+        ) from exc
+    return ctor(**kwargs)
+
+
+_populate()

@@ -1,0 +1,218 @@
+"""DINOv2-style Vision Transformer in flax.
+
+Reference: the torch.hub dinov2 backbones used by every DINO-family model
+(net.py:222-273, multi_dino_attention.py:398, 457, 495) and by
+PromptedSharedDinoHashing's manual block loop with injected prompt tokens
+(multi_dino_attention.py:564-598).
+
+Architecture matches DINOv2: patch embed (14×14 default), prepended CLS
+token, learned position embeddings, pre-norm blocks with LayerScale, GELU
+MLP, final LayerNorm; ``__call__`` returns the normalised CLS token (the
+``x_norm_clstoken`` every reference model consumes).
+
+Extras the TPU build makes first-class:
+- ``num_prompts`` + a ``prompts`` argument: visual-prompt tokens inserted
+  after CLS (PromptedSharedDinoHashing semantics);
+- ``num_domains``: per-domain LayerNorm parameters selected by a ``domain``
+  input (MultiDomainLayerNorm, multi_dino_attention.py:601-639) — instead of
+  chunking the batch, each sample carries a domain id, so it works under any
+  sharding;
+- ``return_attention``: aux dict carries the last block's attention map for
+  the instrumentation CLI (attention.py).
+
+Pretrained DINOv2 weights can be converted once with
+``tools/convert_torch_weights.py``; training from scratch also works (the
+reference's studies mostly freeze the backbone, so conversion is only needed
+for accuracy parity with pretrained runs).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from irw_tpu.models.layers import Mlp, trunc_normal_init
+
+
+class PatchEmbed(nn.Module):
+    embed_dim: int
+    patch_size: int = 14
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # (B, H, W, C) → (B, N, D)
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+        )(x)
+        b, h, w, d = x.shape
+        return x.reshape(b, h * w, d)
+
+
+class DomainLayerNorm(nn.Module):
+    """LayerNorm with per-domain scale/offset selected by a domain id
+    (the MultiDomainLayerNorm equivalent)."""
+
+    num_domains: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, domain=None):
+        if self.num_domains <= 1 or domain is None:
+            return nn.LayerNorm(dtype=self.dtype)(x)
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (self.num_domains, dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.num_domains, dim))
+        mean = x.mean(axis=-1, keepdims=True)
+        var = ((x - mean) ** 2).mean(axis=-1, keepdims=True)
+        y = (x - mean) * jnp.reciprocal(jnp.sqrt(var + 1e-6))
+        s = scale[domain][:, None, :]  # (B, 1, D)
+        b = bias[domain][:, None, :]
+        return y * s + b
+
+
+class Block(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    layerscale_init: float = 1e-5
+    num_domains: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, domain=None):
+        dim = x.shape[-1]
+        y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm1")(x, domain)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+            dtype=self.dtype,
+            name="attn",
+        )
+        attn_out = attn(y, y)
+        ls1 = self.param("ls1", nn.initializers.constant(self.layerscale_init), (dim,))
+        x = x + attn_out * ls1
+        y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm2")(x, domain)
+        mlp_out = Mlp(int(dim * self.mlp_ratio), dim, self.dropout, dtype=self.dtype)(
+            y, train=train
+        )
+        ls2 = self.param("ls2", nn.initializers.constant(self.layerscale_init), (dim,))
+        x = x + mlp_out * ls2
+        return x
+
+
+class VisionTransformer(nn.Module):
+    """DINOv2-flavoured ViT; returns (cls_token, aux)."""
+
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    patch_size: int = 14
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    num_prompts: int = 0
+    num_domains: int = 1
+    img_size: int = 224
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        domain=None,
+        prompts: Optional[jnp.ndarray] = None,
+        return_features: bool = False,
+    ):
+        b = x.shape[0]
+        tokens = PatchEmbed(self.embed_dim, self.patch_size, dtype=self.dtype)(x)
+        num_patches = tokens.shape[1]
+        cls = self.param("cls_token", trunc_normal_init, (1, 1, self.embed_dim))
+        pos = self.param(
+            "pos_embed", trunc_normal_init, (1, num_patches + 1, self.embed_dim)
+        )
+        tokens = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)), tokens], 1)
+        tokens = tokens + pos
+
+        if self.num_prompts > 0:
+            if prompts is None:
+                prompts = self.param(
+                    "prompts", trunc_normal_init, (1, self.num_prompts, self.embed_dim)
+                )
+                prompts = jnp.broadcast_to(prompts, (b, self.num_prompts, self.embed_dim))
+            # insert prompt tokens after CLS (multi_dino_attention.py:578-581)
+            tokens = jnp.concatenate([tokens[:, :1], prompts, tokens[:, 1:]], axis=1)
+
+        features = []
+        for _ in range(self.depth):
+            tokens = Block(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                dropout=self.dropout,
+                num_domains=self.num_domains,
+                dtype=self.dtype,
+            )(tokens, train=train, domain=domain)
+            features.append(tokens)
+
+        tokens = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm")(
+            tokens, domain
+        )
+        cls_out = tokens[:, 0]
+        aux = {}
+        if return_features:
+            aux["block_tokens"] = features
+            aux["patch_tokens"] = tokens[:, 1 + self.num_prompts :]
+        return cls_out, aux
+
+
+def vit_small(**kw) -> VisionTransformer:
+    kw.setdefault("embed_dim", 384)
+    kw.setdefault("depth", 12)
+    kw.setdefault("num_heads", 6)
+    return VisionTransformer(**kw)
+
+
+def vit_base(**kw) -> VisionTransformer:
+    kw.setdefault("embed_dim", 768)
+    kw.setdefault("depth", 12)
+    kw.setdefault("num_heads", 12)
+    return VisionTransformer(**kw)
+
+
+VIT_DIMS = {
+    "dinov2_vits14": 384,
+    "dinov2_vitb14": 768,
+    "vit_small": 384,
+    "vit_base": 768,
+    "deit_small": 384,
+    "deit_base": 768,
+    "vit_tiny": 64,
+    "test_tiny": 64,
+}
+
+
+def vit_config(name: str, **kw) -> dict:
+    """Constructor kwargs for a named ViT variant (usable both directly and
+    through linen transforms like nn.vmap)."""
+    if name in ("dinov2_vits14", "vit_small", "deit_small"):
+        base = dict(embed_dim=384, depth=12, num_heads=6)
+    elif name in ("dinov2_vitb14", "vit_base", "deit_base"):
+        base = dict(embed_dim=768, depth=12, num_heads=12)
+    elif name in ("vit_tiny", "test_tiny"):
+        # a tiny variant for tests/benches of the surrounding machinery
+        base = dict(embed_dim=64, depth=2, num_heads=2, patch_size=8)
+    else:
+        raise ValueError(f"unknown ViT variant {name!r}")
+    base.update(kw)
+    return base
+
+
+def make_vit(name: str, **kw) -> VisionTransformer:
+    return VisionTransformer(**vit_config(name, **kw))

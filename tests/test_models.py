@@ -1,0 +1,232 @@
+"""Model zoo tests: init/apply shape checks, train/eval routing, fusion-head
+zoo, aux ortho loss, gradient flow.  (The reference's test_models.py only
+printed shapes for one config.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irw_tpu.models import get_model
+from irw_tpu.models.fusion import get_fusion_head
+from irw_tpu.models.retrieval_net import RetrievalNet
+from irw_tpu.models.vit import make_vit
+
+RNGS = {
+    "params": jax.random.PRNGKey(0),
+    "dropout": jax.random.PRNGKey(1),
+    "band_drop": jax.random.PRNGKey(2),
+}
+APPLY_RNGS = {"dropout": jax.random.PRNGKey(3), "band_drop": jax.random.PRNGKey(4)}
+
+
+def init_and_apply(model, x, train=True):
+    variables = model.init(RNGS, x, train=train)
+    out = model.apply(
+        variables,
+        x,
+        train=train,
+        rngs=APPLY_RNGS,
+        mutable=["batch_stats"] if train else False,
+    )
+    if train:
+        (result, aux), _ = out
+    else:
+        result, aux = out
+    return result, aux, variables
+
+
+FUSION_TYPES = [
+    "standard",
+    "temperature",
+    "semantic",
+    "gated",
+    "temperature_gated",
+    "self_attention",
+    "cross_attention_bottleneck",
+    "cross_attention_advanced",
+    "cbam",
+    "eca",
+]
+
+
+@pytest.mark.parametrize("ftype", FUSION_TYPES)
+def test_fusion_head_zoo(ftype, rng):
+    bands = jnp.asarray(rng.randn(4, 4, 32), dtype=jnp.float32)
+    head = get_fusion_head(
+        {"type": ftype, "output_dim": 32, "num_heads": 4, "num_queries": 3}, 32
+    )
+    fused, aux, _ = init_and_apply(head, bands, train=True)
+    assert fused.shape == (4, 32)
+    assert "ortho_loss" in aux
+    assert np.isfinite(float(aux["ortho_loss"]))
+
+
+def test_cross_attention_ortho_loss_positive(rng):
+    bands = jnp.asarray(rng.randn(4, 4, 32), dtype=jnp.float32)
+    head = get_fusion_head(
+        {
+            "type": "cross_attention_advanced",
+            "output_dim": 32,
+            "num_heads": 4,
+            "num_queries": 4,
+            "ortho_weight": 1.0,
+            "sub_band_dropout_p": 0.0,
+        },
+        32,
+    )
+    fused, aux, _ = init_and_apply(head, bands, train=True)
+    assert float(aux["ortho_loss"]) > 0
+    # eval: no ortho loss (reference :829-832)
+    fused_e, aux_e, _ = init_and_apply(head, bands, train=False)
+    assert float(aux_e["ortho_loss"]) == 0.0
+
+
+def test_multidino_hashing_routing(rng):
+    m = get_model(
+        "multidino_attention_hashing_ortho",
+        backbone="vit_tiny",
+        nbits=16,
+        fusion_config={
+            "type": "cross_attention_advanced",
+            "output_dim": 64,
+            "num_queries": 4,
+            "num_heads": 2,
+        },
+    )
+    x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), dtype=jnp.float32)
+    logits, aux, variables = init_and_apply(m, x, train=True)
+    assert logits.shape == (2, 16)
+    # eval → ±1 codes
+    codes, _ = m.apply(variables, x, train=False)
+    assert set(np.unique(np.asarray(codes))) <= {-1.0, 0.0, 1.0}
+
+
+def test_shared_dino_band_major_equivalence(rng):
+    """SharedDinoHashing's band-major flatten must equal per-band forward."""
+    m = get_model("shared_dino_hashing", backbone="vit_tiny", nbits=8,
+                  fusion_config={"type": "standard", "output_dim": 64, "num_heads": 2})
+    x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), dtype=jnp.float32)
+    out, aux, variables = init_and_apply(m, x, train=True)
+    assert out.shape == (2, 8)
+
+
+def test_prompted_shared_dino(rng):
+    m = get_model(
+        "prompted_shared_dino_hashing",
+        backbone="vit_tiny",
+        nbits=8,
+        num_prompts=3,
+        use_dsln=True,
+        fusion_config={"type": "standard", "output_dim": 64, "num_heads": 2},
+    )
+    x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), dtype=jnp.float32)
+    out, aux, variables = init_and_apply(m, x, train=True)
+    assert out.shape == (2, 8)
+    # per-band prompts exist
+    flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+    names = ["/".join(str(p) for p in path) for path, _ in flat]
+    assert any("prompts" in n for n in names)
+
+
+def test_wcnn_train_eval_routing(rng):
+    m = get_model("wcnn_ce", num_classes=7, backbone="resnet18")
+    x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), dtype=jnp.float32)
+    logits, aux, variables = init_and_apply(m, x, train=True)
+    assert isinstance(logits, list) and len(logits) == 4
+    assert logits[0].shape == (2, 7)
+    emb, _ = m.apply(variables, x, train=False)
+    assert emb.shape == (2, 4 * 512)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, atol=1e-4)
+
+
+def test_wresnet_in_model_dwt(rng):
+    m = get_model("wresnet", decom_level=1, wave="haar", attention="cbam")
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), dtype=jnp.float32)
+    out, aux, _ = init_and_apply(m, x, train=True)
+    assert out.shape == (2, 2048)
+    assert "gate" in aux
+
+
+def test_mtwavenet_stage_attention(rng):
+    m = get_model("mtwavenet", num_classes=5)
+    x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), dtype=jnp.float32)
+    logits, aux, variables = init_and_apply(m, x, train=True)
+    assert isinstance(logits, list) and len(logits) == 4
+    emb, _ = m.apply(variables, x, train=False)
+    assert emb.shape == (2, 4 * 512)
+
+
+def test_mtwavenet50_fusion_returns_five_heads(rng):
+    m = get_model("mtwavenet50_fusion", num_classes=5)
+    x = jnp.asarray(rng.rand(1, 4, 32, 32, 3), dtype=jnp.float32)
+    logits, aux, variables = init_and_apply(m, x, train=True)
+    assert len(logits) == 5  # 4 branches + fused (mtwavenet.py:408-417)
+    assert "gate" in aux
+
+
+def test_resnet_ce_routing(rng):
+    m = get_model("resnet18_ce", num_classes=11)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), dtype=jnp.float32)
+    logits, _, variables = init_and_apply(m, x, train=True)
+    assert logits.shape == (2, 11)
+    emb, _ = m.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, atol=1e-4)
+
+
+def test_hashnet_alpha_continuation(rng):
+    m = get_model("resnet_hashing_alpha", nbits=12, depth=18)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), dtype=jnp.float32)
+    variables = m.init(RNGS, x, train=True)
+    out1, _ = m.apply(variables, x, train=True, alpha=0.1, rngs=APPLY_RNGS, mutable=["batch_stats"])[0]
+    out2, _ = m.apply(variables, x, train=True, alpha=10.0, rngs=APPLY_RNGS, mutable=["batch_stats"])[0]
+    # larger alpha → more saturated codes
+    assert float(jnp.abs(out2).mean()) > float(jnp.abs(out1).mean())
+
+
+def test_single_band_and_baseline(rng):
+    x_bands = jnp.asarray(rng.rand(2, 4, 32, 32, 3), dtype=jnp.float32)
+    m = get_model("single_band_net", backbone="vit_tiny", band=2, nbits=8)
+    out, _, _ = init_and_apply(m, x_bands, train=True)
+    assert out.shape == (2, 8)
+
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), dtype=jnp.float32)
+    m2 = get_model("dino_hash_baseline", backbone="vit_tiny", nbits=8)
+    out2, _, _ = init_and_apply(m2, x, train=True)
+    assert out2.shape == (2, 8)
+
+
+def test_retrieval_net_wrapper(rng):
+    backbone = make_vit("vit_tiny")
+    net = RetrievalNet(backbone=backbone, embed_dim=24)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), dtype=jnp.float32)
+    emb, aux, _ = init_and_apply(net, x, train=True)
+    assert emb.shape == (2, 24)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, atol=1e-4)
+
+
+def test_grad_flows_through_flagship(rng):
+    m = get_model(
+        "multidino_attention_hashing_ortho",
+        backbone="vit_tiny",
+        nbits=8,
+        frozen_backbone=False,
+        fusion_config={"type": "cross_attention_advanced", "output_dim": 64,
+                       "num_queries": 2, "num_heads": 2, "ortho_weight": 0.5},
+    )
+    x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), dtype=jnp.float32)
+    variables = m.init(RNGS, x, train=True)
+
+    def loss_fn(params):
+        (logits, aux), _ = m.apply(
+            {**variables, "params": params},
+            x,
+            train=True,
+            rngs=APPLY_RNGS,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(logits**2) + aux["ortho_loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
