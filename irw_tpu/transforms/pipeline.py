@@ -1,0 +1,204 @@
+"""Host (PIL, uint8) and device (jnp, jitted) transform stages.
+
+The reference's transform configs are ordered dicts of names → kwargs
+(config/transform/*.yaml), resolved against main.transforms then
+torchvision (getter.py:27-31).  ``build_transforms`` consumes the same
+dicts: geometric PIL ops stay on the host; ToTensor/Normalize and all
+wavelet ops move into the jitted device stage.
+
+Wavelet op semantics (custom_transforms.py):
+- ``CustomTransform``: n-level lifting DWT (haar/cdf97) on the normalised
+  image, coarse-only subband stack (:90-117) → (B, 4, H/2ˡ, W/2ˡ, C);
+- ``SWTTransform``: stationary level-1 transform, size-preserving
+  (:160-169) → (B, 4, H, W, C), after a bicubic ``fix_size`` resize to a
+  multiple of 2^level (:132-139, handled host-side by rounding the resize);
+- ``DWTTransform``: pywt-style wavedec2, coarsest level (:172-186);
+- ``ResizeSubBands``: bilinear resize of the band stack (:57-84).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from irw_tpu.ops.wavelets import subband_stack, swt2, wavedec2
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+# ---------------------------------------------------------------------------
+# Host stage
+# ---------------------------------------------------------------------------
+
+
+class HostTransform:
+    """Minimal host-side geometry.  ``ops`` is a list of (name, kwargs):
+    Resize, CenterCrop, RandomCrop, RandomResizedCrop,
+    RandomHorizontalFlip.  Output: uint8 (H, W, 3)."""
+
+    def __init__(self, ops: Sequence[tuple[str, dict]] = (), image_size: int = 224):
+        self.ops = list(ops) or [("Resize", {"size": (image_size, image_size)})]
+
+    @staticmethod
+    def _size2d(size):
+        if isinstance(size, int):
+            return (size, size)
+        return tuple(size)
+
+    def __call__(self, img: Image.Image, rng: np.random.RandomState, train: bool):
+        for name, kw in self.ops:
+            if name == "Resize":
+                h, w = self._size2d(kw.get("size", 224))
+                img = img.resize((w, h), Image.BILINEAR)
+            elif name == "CenterCrop":
+                h, w = self._size2d(kw.get("size", 224))
+                left = max((img.width - w) // 2, 0)
+                top = max((img.height - h) // 2, 0)
+                img = img.crop((left, top, left + w, top + h))
+            elif name == "RandomCrop":
+                h, w = self._size2d(kw.get("size", 224))
+                if train and img.width >= w and img.height >= h:
+                    left = rng.randint(0, img.width - w + 1)
+                    top = rng.randint(0, img.height - h + 1)
+                    img = img.crop((left, top, left + w, top + h))
+                else:
+                    left = max((img.width - w) // 2, 0)
+                    top = max((img.height - h) // 2, 0)
+                    img = img.crop((left, top, left + w, top + h))
+            elif name == "RandomResizedCrop":
+                h, w = self._size2d(kw.get("size", 224))
+                if train:
+                    scale = kw.get("scale", (0.08, 1.0))
+                    area = img.width * img.height
+                    target = rng.uniform(*scale) * area
+                    ratio = rng.uniform(3 / 4, 4 / 3)
+                    cw = int(round(np.sqrt(target * ratio)))
+                    ch = int(round(np.sqrt(target / ratio)))
+                    cw, ch = min(cw, img.width), min(ch, img.height)
+                    left = rng.randint(0, img.width - cw + 1)
+                    top = rng.randint(0, img.height - ch + 1)
+                    img = img.crop((left, top, left + cw, top + ch))
+                img = img.resize((w, h), Image.BILINEAR)
+            elif name == "RandomHorizontalFlip":
+                if train and rng.rand() < kw.get("p", 0.5):
+                    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            elif name == "FixSize":
+                # bicubic pad-to-multiple (BaseWaveletTransform.fix_size)
+                factor = 2 ** kw.get("level", 1)
+                new_w = int(np.ceil(img.width / factor) * factor)
+                new_h = int(np.ceil(img.height / factor) * factor)
+                if (new_w, new_h) != (img.width, img.height):
+                    img = img.resize((new_w, new_h), Image.BICUBIC)
+            else:
+                raise ValueError(f"unknown host transform {name!r}")
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        return arr
+
+
+# ---------------------------------------------------------------------------
+# Device stage
+# ---------------------------------------------------------------------------
+
+
+class DeviceTransform:
+    """Batched on-device numerics; ``__call__`` is jit-compiled.
+
+    ops: list of (name, kwargs): Normalize, CustomTransform, SWTTransform,
+    DWTTransform, ResizeSubBands.  Input (B, H, W, 3) uint8/float; output
+    either (B, H, W, 3) images or (B, S, h, w, 3) subband stacks.
+    """
+
+    def __init__(self, ops: Sequence[tuple[str, dict]] = ()):
+        self.ops = tuple((name, tuple(sorted(kw.items()))) for name, kw in ops)
+        self._fn = jax.jit(partial(DeviceTransform._apply, self.ops))
+
+    @staticmethod
+    def _apply(ops, x):
+        x = x.astype(jnp.float32)
+        x = x / 255.0
+        for name, kw_items in ops:
+            kw = dict(kw_items)
+            if name == "Normalize":
+                mean = jnp.asarray(kw.get("mean", IMAGENET_MEAN), jnp.float32)
+                std = jnp.asarray(kw.get("std", IMAGENET_STD), jnp.float32)
+                x = (x - mean) / std
+            elif name == "CustomTransform":
+                levels = int(kw.get("decompose_levels", kw.get("levels", 1)))
+                basis = kw.get("basis", "haar")
+                ll_only = bool(kw.get("ll_only", False))
+                x = subband_stack(x, levels=levels, basis=basis, ll_only=ll_only)
+            elif name == "SWTTransform":
+                level = int(kw.get("level", 1))
+                wavelet = kw.get("wavelet", "haar")
+                img = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+                (ca, (lh, hl, hh)), *_ = swt2(img, wavelet, level=level)
+                stack = jnp.stack([ca, lh, hl, hh], axis=1)  # (B, 4, C, H, W)
+                x = jnp.moveaxis(stack, 2, -1)
+            elif name == "DWTTransform":
+                level = int(kw.get("level", 1))
+                wavelet = kw.get("wavelet", "haar")
+                img = jnp.moveaxis(x, -1, 1)
+                coeffs = wavedec2(img, wavelet, level=level)
+                ca, (lh, hl, hh) = coeffs[0], coeffs[1]
+                stack = jnp.stack([ca, lh, hl, hh], axis=1)
+                x = jnp.moveaxis(stack, 2, -1)
+            elif name == "ResizeSubBands":
+                size = kw.get("size", 224)
+                hw = (size, size) if isinstance(size, int) else tuple(size)
+                b, s = x.shape[0], x.shape[1]
+                flat = x.reshape((b * s,) + x.shape[2:])
+                flat = jax.image.resize(
+                    flat, (b * s, hw[0], hw[1], x.shape[-1]), method="bilinear"
+                )
+                x = flat.reshape((b, s) + flat.shape[1:])
+            else:
+                raise ValueError(f"unknown device transform {name!r}")
+        return x
+
+    def __call__(self, batch_images):
+        return self._fn(jnp.asarray(batch_images))
+
+
+HOST_OPS = {
+    "Resize",
+    "CenterCrop",
+    "RandomCrop",
+    "RandomResizedCrop",
+    "RandomHorizontalFlip",
+    "FixSize",
+}
+DEVICE_OPS = {"Normalize", "CustomTransform", "SWTTransform", "DWTTransform", "ResizeSubBands"}
+SKIP_OPS = {"ToTensor"}  # implicit in the device stage
+
+
+def build_transforms(transform_config: dict | None, image_size: int = 224):
+    """Split a reference-style transform dict (ordered name → kwargs) into
+    (HostTransform, DeviceTransform).
+
+    SWT/DWT transforms imply a host-side FixSize like the reference's
+    ``fix_size`` (custom_transforms.py:132-139).
+    """
+    host_ops, device_ops = [], []
+    for name, kw in (transform_config or {}).items():
+        kw = dict(kw or {})
+        if name in SKIP_OPS:
+            continue
+        if name in HOST_OPS:
+            host_ops.append((name, kw))
+        elif name in DEVICE_OPS:
+            if name in ("SWTTransform", "DWTTransform"):
+                host_ops.append(("FixSize", {"level": int(kw.get("level", 1))}))
+            device_ops.append((name, kw))
+        else:
+            raise ValueError(f"unknown transform {name!r}")
+    if not host_ops:
+        host_ops = [("Resize", {"size": (image_size, image_size)})]
+    return HostTransform(host_ops, image_size), DeviceTransform(device_ops)
