@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Round benchmark — prints ONE JSON line.
+
+Measures the BASELINE.md tracked metric: images/sec/chip for the
+DWT-featurize + embed path on the flagship VOC-study model
+(4-band SWT on device → MultiDinoHashing vit-s/14 → 64-bit codes), plus the
+VOC-sized full-matrix Hamming retrieval eval wall-clock.
+
+``vs_baseline`` is measured against the same computation executed on one
+CPU host (the reference implementation's platform — its pipeline was
+CPU-side pywt + a single-GPU torch model; a CPU run of the identical JAX
+program is the conservative stand-in available in this image).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=8):
+    import jax
+    import jax.numpy as jnp
+
+    from irw_tpu.models import get_model
+    from irw_tpu.ops.wavelets import swt2
+
+    model = get_model(
+        "multidino_attention_hashing_ortho",
+        backbone=backbone,
+        nbits=nbits,
+        frozen_backbone=True,
+        fusion_config={
+            "type": "cross_attention_advanced",
+            "output_dim": embed_dim,
+            "num_queries": 4,
+            "num_heads": num_heads,
+            "ortho_weight": 0.01,
+        },
+    )
+
+    def pipeline(variables, images_u8):
+        # device transform: /255 + stationary wavelet → 4-band stack
+        x = images_u8.astype(jnp.float32) / 255.0
+        img = jnp.moveaxis(x, -1, 1)
+        (ca, (lh, hl, hh)), = swt2(img, "haar", level=1)
+        bands = jnp.moveaxis(jnp.stack([ca, lh, hl, hh], axis=1), 2, -1)
+        codes, _ = model.apply(variables, bands, train=False)
+        return codes
+
+    return model, pipeline
+
+
+def time_pipeline(device, batch, iters, variables, pipeline):
+    import jax
+
+    with jax.default_device(device):
+        v = jax.device_put(variables)
+        b = jax.device_put(batch)
+        fn = jax.jit(pipeline)
+        fn(v, b).block_until_ready()  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(v, b)
+        out.block_until_ready()
+        return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+
+    batch_size = 64
+    rng = np.random.RandomState(0)
+    batch = rng.randint(0, 255, (batch_size, 224, 224, 3), dtype=np.uint8)
+
+    model, pipeline = build_pipeline()
+    init_rngs = {
+        "params": jax.random.PRNGKey(0),
+        "dropout": jax.random.PRNGKey(1),
+        "band_drop": jax.random.PRNGKey(2),
+    }
+    import jax.numpy as jnp
+
+    sample_bands = jnp.zeros((1, 4, 224, 224, 3), jnp.float32)
+    variables = model.init(init_rngs, sample_bands, train=False)
+
+    accel = jax.devices()[0]
+    accel_time = time_pipeline(accel, batch, iters=10, variables=variables, pipeline=pipeline)
+    tpu_ips = batch_size / accel_time
+
+    # CPU reference of the identical program (conservative stand-in for the
+    # torch/pywt reference pipeline) — small batch, per-image extrapolation
+    cpu = jax.devices("cpu")[0]
+    cpu_batch = batch[:8]
+    cpu_time = time_pipeline(cpu, cpu_batch, iters=1, variables=variables, pipeline=pipeline)
+    cpu_ips = cpu_batch.shape[0] / cpu_time
+
+    # VOC-sized retrieval eval wall-clock (5717 × 5717 Hamming + metric suite)
+    from irw_tpu.ops.metrics import compute_retrieval_metrics
+
+    n = 5717
+    codes = np.sign(rng.randn(n, 64)).astype(np.float32)
+    labels = (rng.rand(n, 20) > 0.85).astype(np.float32)
+    t0 = time.perf_counter()
+    res = compute_retrieval_metrics(
+        codes, labels, codes, labels, metric="hamming", k=n, same_source=True,
+        with_hashing_stats=True,
+    )
+    eval_seconds = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "flagship_swt_embed_throughput",
+        "value": round(tpu_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(tpu_ips / cpu_ips, 2),
+        "extra": {
+            "cpu_reference_ips": round(cpu_ips, 2),
+            "voc_full_eval_seconds": round(eval_seconds, 3),
+            "voc_eval_map": round(res["map"], 4),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

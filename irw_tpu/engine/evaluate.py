@@ -1,0 +1,133 @@
+"""Retrieval evaluation (reference: main/engine/evaluate.py +
+accuracy_calculator.py + get_knn.py).
+
+Differences by design: embeddings stay on device (the reference accumulated
+on CPU then shipped to faiss-GPU, evaluate.py:25-57 / get_knn.py:27-57);
+the distance matrix + top-k run as chunked jit ops; metrics come from
+:mod:`irw_tpu.ops.metrics`.  Split plumbing preserved: train/val/test
+splits, query-vs-gallery dataset dicts, multi-level labels
+(metrics suffixed ``_levelL``), ``same_source`` self-retrieval with
+drop-self.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irw_tpu.data.loader import EpochLoader
+from irw_tpu.ops.metrics import compute_retrieval_metrics
+from irw_tpu.utils import LOGGER
+
+
+def compute_embeddings(
+    apply_fn: Callable,
+    variables,
+    dataset,
+    host_transform,
+    device_transform,
+    batch_size: int = 256,
+    num_workers: int = 8,
+):
+    """Embed a whole dataset with the eval-mode forward.  Returns
+    (embeddings [device], labels [numpy])."""
+    order = np.arange(len(dataset))
+    batches = [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
+    loader = EpochLoader(
+        dataset, batches, host_transform, num_workers=num_workers, train=False
+    )
+
+    jitted = jax.jit(lambda v, x: apply_fn(v, x))
+    chunks = []
+    for batch in loader:
+        images = batch["image"]
+        if images.shape[0] < batch_size:  # pad the tail to keep one jit shape
+            pad = batch_size - images.shape[0]
+            images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+        x = device_transform(images) if device_transform else jnp.asarray(images, jnp.float32) / 255.0
+        out = jitted(variables, x)
+        emb = out[0] if isinstance(out, tuple) else out
+        chunks.append(emb[: batch["image"].shape[0]])
+    embeddings = jnp.concatenate(chunks, axis=0)
+    return embeddings, dataset.labels
+
+
+def _metric_suite(query_emb, query_labels, gallery_emb, gallery_labels, cfg):
+    """Run the metric suite per label level (GlobalEmbeddingSpaceTester's
+    label_hierarchy support, evaluate.py:14-23)."""
+    same_source = cfg.get("same_source", False)
+    metric = cfg.get("distance_metric", "cosine")
+    k = cfg.get("top_k", None)
+    with_hash = metric == "hamming"
+
+    ql = np.asarray(query_labels)
+    gl = np.asarray(gallery_labels)
+    multi_level = ql.ndim == 2 and not cfg.get("multi_label", ql.dtype.kind == "f")
+    levels = ql.shape[1] if multi_level else 1
+
+    out = {}
+    for level in range(levels):
+        q = ql[:, level] if multi_level else ql
+        g = gl[:, level] if multi_level else gl
+        res = compute_retrieval_metrics(
+            query_emb,
+            jnp.asarray(q),
+            gallery_emb,
+            jnp.asarray(g),
+            metric=metric,
+            k=k,
+            same_source=same_source,
+            with_hashing_stats=with_hash,
+        )
+        for name, value in res.items():
+            if name.endswith("curve"):
+                continue
+            out[f"{name}_level{level}"] = value
+    return out
+
+
+def evaluate(
+    apply_fn,
+    variables,
+    datasets,
+    host_transform=None,
+    device_transform=None,
+    batch_size: int = 256,
+    num_workers: int = 8,
+    top_k=None,
+    distance_metric: str = "cosine",
+    multi_label: bool | None = None,
+):
+    """Evaluate retrieval quality.
+
+    ``datasets``: either a single dataset (self-retrieval with drop-self,
+    the train/val splits of evaluate.py:101-135) or a
+    ``{"query": ds, "gallery": ds}`` dict (InShop/hashing protocols).
+
+    Returns a flat dict of metrics (suffixed ``_levelL``).
+    """
+    cfg = {"top_k": top_k, "distance_metric": distance_metric}
+    if multi_label is not None:
+        cfg["multi_label"] = multi_label
+
+    if isinstance(datasets, dict):
+        q_emb, q_labels = compute_embeddings(
+            apply_fn, variables, datasets["query"], host_transform, device_transform,
+            batch_size, num_workers,
+        )
+        g_emb, g_labels = compute_embeddings(
+            apply_fn, variables, datasets["gallery"], host_transform, device_transform,
+            batch_size, num_workers,
+        )
+        cfg["same_source"] = False
+        return _metric_suite(q_emb, q_labels, g_emb, g_labels, cfg)
+
+    emb, labels = compute_embeddings(
+        apply_fn, variables, datasets, host_transform, device_transform,
+        batch_size, num_workers,
+    )
+    cfg["same_source"] = True
+    return _metric_suite(emb, labels, emb, labels, cfg)

@@ -1,0 +1,77 @@
+"""Revisited Oxford/Paris landmark evaluation.
+
+Reference: main/engine/landmark_evaluation.py — trapezoid AP with
+junk-rank correction (:15-123), medium/hard protocols (:126-152), per-city
+embedding + full gallery·queryᵀ ranking (:155-189).
+
+Protocols (standard revisitop):
+- medium: positives = easy ∪ hard, junk = junk;
+- hard:   positives = hard,        junk = junk ∪ easy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def compute_ap(ranks: np.ndarray, nres: int) -> float:
+    """Average precision from the sorted ranks (0-based) of the positive
+    images among the ranked gallery, junk already removed — the revisitop
+    trapezoidal formula (landmark_evaluation.py:15-60)."""
+    if nres == 0:
+        return 0.0
+    ap = 0.0
+    recall_step = 1.0 / nres
+    for j, rank in enumerate(ranks):
+        precision_0 = 0.0 if rank == 0 else j / rank
+        precision_1 = (j + 1) / (rank + 1)
+        ap += (precision_0 + precision_1) * recall_step / 2.0
+    return ap
+
+
+def _ap_for_query(order: np.ndarray, positives: set, junk: set):
+    """Rank positions of positives after dropping junk (the junk-rank
+    correction, landmark_evaluation.py:62-123)."""
+    ranks = []
+    pos_seen = 0
+    junk_seen = 0
+    for rank, idx in enumerate(order):
+        if idx in junk:
+            junk_seen += 1
+            continue
+        if idx in positives:
+            ranks.append(rank - junk_seen)
+            pos_seen += 1
+    return compute_ap(np.asarray(ranks), len(positives))
+
+
+def landmark_evaluation(query_emb, gallery_emb, gnd, protocols=("medium", "hard")):
+    """mAP per protocol for one city.
+
+    gnd: list per query of {'easy': [...], 'hard': [...], 'junk': [...]}
+    (RevisitedDataset.gnd).  Embeddings are L2-normalised descriptors;
+    ranking is gallery·queryᵀ argsort (landmark_evaluation.py:155-189).
+    """
+    q = np.asarray(query_emb)
+    g = np.asarray(gallery_emb)
+    q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    g = g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-12)
+    sims = q @ g.T
+    orders = np.argsort(-sims, axis=1)
+
+    out = {}
+    for protocol in protocols:
+        aps = []
+        for qi, entry in enumerate(gnd):
+            easy = set(np.atleast_1d(entry.get("easy", [])).tolist())
+            hard = set(np.atleast_1d(entry.get("hard", [])).tolist())
+            junk = set(np.atleast_1d(entry.get("junk", [])).tolist())
+            if protocol == "medium":
+                positives, junk_set = easy | hard, junk
+            else:
+                positives, junk_set = hard, junk | easy
+            if not positives:
+                continue
+            aps.append(_ap_for_query(orders[qi], positives, junk_set))
+        out[f"map_{protocol}"] = float(np.mean(aps)) if aps else 0.0
+    return out

@@ -1,0 +1,254 @@
+"""Epoch loop (reference: main/engine/train.py).
+
+Per epoch: advance loss/α schedules, reshuffle the sampler, run the jitted
+step over the loader (capped by ``step_per_epoch``), periodic eval with
+best-score tracking + plateau (on_val) schedulers, fast-eval subset,
+TensorBoard/JSONL scalars, rolling checkpoint every epoch.
+
+The RNG snapshot/restore the reference wrapped around eval
+(train.py:105-140) is unnecessary: eval never touches the train PRNG key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from irw_tpu.engine.batch_map import build_fast_eval_subset
+from irw_tpu.engine.checkpoint import save_checkpoint
+from irw_tpu.engine.evaluate import evaluate
+from irw_tpu.engine.train_step import build_train_step
+from irw_tpu.data.loader import EpochLoader
+from irw_tpu.utils import DictAverage, LOGGER, format_time
+
+
+class MetricsLogger:
+    """JSONL scalars (+ TensorBoard when torch is importable)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(os.path.join(log_dir, "tb"))
+        except Exception:
+            pass
+
+    def log(self, step: int, scalars: dict, prefix: str = ""):
+        record = {"step": int(step)}
+        for key, value in scalars.items():
+            if isinstance(value, (int, float, np.floating, np.integer)) or (
+                hasattr(value, "ndim") and getattr(value, "ndim", 1) == 0
+            ):
+                name = f"{prefix}{key}"
+                record[name] = float(value)
+                if self.tb is not None:
+                    self.tb.add_scalar(name, float(value), step)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+
+def _alpha_schedule(epoch: int, cfg: dict) -> float:
+    """Model tanh(α·x) continuation (ResNet50Mod.epoch_step / DSCH
+    set_alpha): α_e = (1 + gamma·e)^power."""
+    gamma = cfg.get("alpha_gamma", 1.0)
+    power = cfg.get("alpha_power", 0.5)
+    return float((1.0 + gamma * epoch) ** power)
+
+
+def _apply_loss_epoch_updates(losses, state):
+    new_states = dict(state.loss_states)
+    for idx, (loss, _) in enumerate(losses):
+        key = str(idx)
+        if new_states.get(key):
+            new_states[key] = loss.epoch_update(new_states[key])
+    return state.replace(loss_states=new_states)
+
+
+def _build_hyper(optimizer_entries, epoch, step, warm_up, warm_up_key):
+    lrs, active = {}, {}
+    for entry in optimizer_entries:
+        lrs[entry.name] = {
+            k: jnp.float32(v) for k, v in entry.group_lrs(epoch, step).items()
+        }
+        in_warmup = epoch < warm_up
+        active[entry.name] = jnp.asarray(
+            (not in_warmup) or (warm_up_key is not None and entry.name == warm_up_key)
+        )
+    return {"lrs": lrs, "active": active}
+
+
+def train(
+    model,
+    state,
+    losses,
+    optimizer_entries,
+    loss_tx,
+    train_dataset,
+    sampler,
+    eval_datasets: dict,
+    host_transform,
+    device_transform,
+    config: dict,
+    log_dir: str,
+    xbm=None,
+    eval_fn=None,
+):
+    """Run the full training.  ``eval_datasets``: split name → dataset (or
+    {'query','gallery'} dict).  Returns (state, metrics_by_split)."""
+    exp = dict(config.get("experience", config))
+    max_iter = exp.get("max_iter", 50)
+    step_per_epoch = exp.get("step_per_epoch", None)
+    eval_freq = exp.get("train_eval_freq", exp.get("eval_freq", 5))
+    eval_bs = exp.get("eval_bs", 256)
+    principal_metric = exp.get("principal_metric", "map_level0")
+    eval_split = exp.get("eval_split", "test")
+    warm_up = exp.get("warm_up", 0)
+    warm_up_key = exp.get("warm_up_key", None)
+    clip_grad = exp.get("clip_grad", None)
+    sub_batch = exp.get("sub_batch", None)
+    num_workers = exp.get("num_workers", 8)
+    top_k = (exp.get("evaluation") or {}).get("top_k", exp.get("top_k"))
+    distance_metric = (exp.get("evaluation") or {}).get(
+        "distance_metric", exp.get("distance_metric", "cosine")
+    )
+    fast_eval = exp.get("with_fast_eval", False)
+    save_model_every = exp.get("save_model", None)
+
+    logger = MetricsLogger(log_dir)
+    frozen = tuple(getattr(model, "frozen_param_collections", ()) or ())
+
+    def make_step(xbm_active: bool):
+        step_fn = build_train_step(
+            model,
+            losses,
+            optimizer_entries,
+            loss_tx,
+            xbm=xbm,
+            device_transform=device_transform,
+            clip_grad=clip_grad,
+            sub_batch=sub_batch,
+            proxy_map_metric="hamming" if distance_metric == "hamming" else "cosine",
+            frozen_collections=frozen,
+            xbm_active=xbm_active,
+        )
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    xbm_activate_after = getattr(xbm, "activate_after", 0) if xbm is not None else 0
+    jitted = {}
+
+    def eval_variables(current):
+        variables = {"params": current.params}
+        if current.batch_stats:
+            variables["batch_stats"] = current.batch_stats
+        return variables
+
+    def apply_eval(variables, x):
+        return model.apply(variables, x, train=False)
+
+    run_eval = eval_fn or (
+        lambda current, datasets: evaluate(
+            apply_eval,
+            eval_variables(current),
+            datasets,
+            host_transform,
+            device_transform,
+            batch_size=eval_bs,
+            num_workers=num_workers,
+            top_k=top_k,
+            distance_metric=distance_metric,
+        )
+    )
+
+    fast_subset = None
+    if fast_eval:
+        fast_subset = build_fast_eval_subset(train_dataset, per_class=5)
+
+    best_score = -float("inf")
+    metrics_by_split: dict[str, dict] = {}
+    start_epoch = int(jax.device_get(state.epoch))
+
+    for epoch in range(start_epoch + 1, max_iter + 1):
+        t0 = time.time()
+        state = _apply_loss_epoch_updates(losses, state)
+        state = state.replace(
+            epoch=jnp.int32(epoch),
+            model_alpha=jnp.float32(_alpha_schedule(epoch, exp)),
+        )
+
+        sampler.reshuffle(epoch)
+        batches = sampler.batches
+        if step_per_epoch:
+            batches = batches[:step_per_epoch]
+        loader = EpochLoader(
+            train_dataset,
+            batches,
+            host_transform,
+            num_workers=num_workers,
+            train=True,
+            seed=exp.get("seed", 0) + epoch,
+        )
+
+        xbm_on = xbm is not None and epoch > xbm_activate_after
+        if xbm_on not in jitted:
+            jitted[xbm_on] = make_step(xbm_on)
+        step_fn = jitted[xbm_on]
+
+        meters = DictAverage()
+        for batch in loader:
+            global_step = int(jax.device_get(state.step))
+            hyper = _build_hyper(optimizer_entries, epoch, global_step, warm_up, warm_up_key)
+            state, metrics = step_fn(state, batch, hyper)
+            meters.update({k: float(v) for k, v in jax.device_get(metrics).items()})
+
+        epoch_metrics = meters.avg
+        lr_now = optimizer_entries[0].group_lrs(epoch, int(jax.device_get(state.step)))
+        epoch_metrics["lr"] = next(iter(lr_now.values()))
+        logger.log(epoch, epoch_metrics, prefix="train/")
+        LOGGER.info(
+            f"epoch {epoch}/{max_iter} "
+            f"loss={epoch_metrics.get('total_loss', float('nan')):.4f} "
+            f"batch_map={epoch_metrics.get('batch_map', 0.0):.4f} "
+            f"[{format_time(time.time() - t0)}]"
+        )
+
+        score = None
+        if eval_freq and (epoch % eval_freq == 0 or epoch == max_iter):
+            for split, datasets in eval_datasets.items():
+                results = run_eval(state, datasets)
+                metrics_by_split[split] = results
+                logger.log(epoch, results, prefix=f"{split}/")
+                LOGGER.info(f"  eval[{split}]: " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in sorted(results.items())
+                    if isinstance(v, float) and "recall" not in k
+                ))
+            score = metrics_by_split.get(eval_split, {}).get(principal_metric)
+            if score is not None:
+                for entry in optimizer_entries:
+                    if entry.plateau is not None:
+                        entry.plateau.update(score)
+                if score > best_score:
+                    best_score = score
+        elif fast_subset is not None:
+            results = run_eval(state, fast_subset)
+            logger.log(epoch, results, prefix="fast_eval/")
+
+        save_checkpoint(
+            log_dir,
+            state,
+            config if isinstance(config, dict) else dict(config),
+            epoch,
+            score=score,
+            best_score=best_score if best_score > -float("inf") else None,
+            save_model_every=save_model_every,
+        )
+
+    return state, metrics_by_split

@@ -1,0 +1,317 @@
+"""The jitted optimization step (reference: main/engine/base_update.py).
+
+One ``step(state, batch, hyper)`` call does what
+``_batch_optimization`` + the optimizer block (:326-414) did:
+
+- device transform (normalise + DWT/SWT — the work the reference burned
+  CPU loader workers on);
+- forward with explicit dropout/band-drop PRNGs;
+- XBM insert + memory-aware loss contexts (:75-113);
+- weighted loss sum + the fusion head's ortho aux (:130-137);
+- one backward over (params, loss_params);
+- global-norm grad clipping (:363-369);
+- per-entry optimizer updates with warm-up gating (:372-375) and host-fed
+  per-group LRs (scheduler values);
+- loss-optimizer update (the reference's ``crit.step()``, :380-390) and
+  per-loss ``step_update`` schedules;
+- batch proxy mAP metric (batch_map.py:9-36).
+
+Micro-batching: ``sub_batch`` wraps the backbone forward in
+``jax.checkpoint`` + ``lax.scan`` over micro-batches — mathematically the
+reference's GradCache two-pass scheme (:151-293) but expressed as
+rematerialisation, so replay-RNG bookkeeping (:12-31) is unnecessary.
+
+Hyper inputs (host-computed, passed as arrays → no recompilation):
+``lrs`` per optimizer entry/group, ``loss_lr``, ``warmup_active``,
+``xbm_active``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from irw_tpu.engine.optimizers import OptimizerEntry, set_group_lrs
+from irw_tpu.engine.train_state import TrainState
+from irw_tpu.engine.xbm import XBM
+from irw_tpu.losses.base import LossContext, LossKind
+from irw_tpu.utils.label_matrix import create_label_matrix
+
+
+def _l2n(x):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def batch_proxy_map(embeddings, labels, metric: str = "cosine"):
+    """Training-time self-retrieval mAP over the batch (batch_map.py:9-36):
+    rank the batch against itself (self dropped), exact AP."""
+    if metric == "hamming":
+        sims = jnp.sign(embeddings) @ jnp.sign(embeddings).T
+    else:
+        e = _l2n(embeddings)
+        sims = e @ e.T
+    b = sims.shape[0]
+    eye = jnp.eye(b, dtype=sims.dtype)
+    sims = sims - 1e9 * eye
+    rel = create_label_matrix(labels) * (1.0 - eye)
+    order = jnp.argsort(-sims, axis=1)
+    ranked_rel = jnp.take_along_axis(rel, order, axis=1)
+    ranks = jnp.arange(1, b + 1, dtype=sims.dtype)
+    cum = jnp.cumsum(ranked_rel, axis=1)
+    ap = jnp.sum((cum / ranks) * ranked_rel, axis=1) / jnp.maximum(rel.sum(1), 1.0)
+    valid = rel.sum(1) > 0
+    return jnp.sum(jnp.where(valid, ap, 0.0)) / jnp.maximum(valid.sum(), 1.0)
+
+
+def build_train_step(
+    model,
+    losses: Sequence[tuple],  # [(loss, weight)]
+    optimizer_entries: Sequence[OptimizerEntry],
+    loss_tx: optax.GradientTransformation,
+    xbm: XBM | None = None,
+    device_transform: Callable | None = None,
+    clip_grad: float | None = None,
+    sub_batch: int | None = None,
+    proxy_map_metric: str = "cosine",
+    frozen_collections: Sequence[str] = (),
+    xbm_active: bool = False,
+):
+    """Returns ``step(state, batch, hyper) -> (state, metrics)`` ready for
+    jit/pjit.  ``batch``: image (B,H,W,3)/(B,S,h,w,3) float or uint8,
+    label, index."""
+
+    losses = list(losses)
+
+    # does the model take the continuation alpha? (ResNetHashingAlpha /
+    # ResNet50Mod — resnet_ce.py:81, :180)
+    import inspect
+
+    takes_alpha = "alpha" in inspect.signature(model.__call__).parameters
+
+    def forward(params, batch_stats, rng, images, alpha):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        r1, r2 = jax.random.split(rng)
+        kwargs = {"train": True}
+        if takes_alpha:
+            kwargs["alpha"] = alpha
+        out, new_vars = model.apply(
+            variables,
+            images,
+            rngs={"dropout": r1, "band_drop": r2},
+            mutable=["batch_stats"],
+            **kwargs,
+        )
+        output, aux = out if isinstance(out, tuple) else (out, {})
+        return output, aux, new_vars.get("batch_stats", {})
+
+    def forward_microbatched(params, batch_stats, rng, images, alpha):
+        """remat+scan micro-batching: embeddings of all micro-batches with
+        activations rematerialised in backward (GradCache equivalent)."""
+        b = images.shape[0]
+        n_micro = b // sub_batch
+        images_m = images.reshape((n_micro, sub_batch) + images.shape[1:])
+        rngs = jax.random.split(rng, n_micro)
+
+        def _fwd_no_aux(p, bs, r, im):
+            output, _aux, new_bs = forward(p, bs, r, im, alpha)
+            return output, new_bs
+
+        rematted = jax.checkpoint(_fwd_no_aux)
+
+        def body(carry, inp):
+            r, im = inp
+            out, new_bs = rematted(params, batch_stats, r, im)
+            return new_bs, out
+
+        new_bs, outs = jax.lax.scan(body, batch_stats, (rngs, images_m))
+        output = outs.reshape((b,) + outs.shape[2:])
+        return output, {"ortho_loss": jnp.float32(0.0)}, new_bs
+
+    use_xbm = xbm is not None and xbm_active  # static: engine rebuilds the
+    # step once when the memory activates (activate_after)
+
+    def compute_losses(output, aux, labels, xbm_state, loss_params, loss_states):
+        is_branches = isinstance(output, (list, tuple))
+        emb = None if is_branches else output
+
+        ref_emb = ref_labels = None
+        if use_xbm and emb is not None:
+            mem_emb, mem_labels, mem_valid = xbm.contents(xbm_state)
+            mem_emb = jax.lax.stop_gradient(mem_emb)
+            # invalid slots: zero embedding + inert label
+            ref_emb = mem_emb * mem_valid[:, None]
+            if mem_labels.ndim == 1:
+                ref_labels = jnp.where(mem_valid, mem_labels, -1)
+            else:
+                ref_labels = mem_labels * mem_valid[:, None]
+
+        ctx_base = LossContext(labels=labels, train=True)
+        total = jnp.float32(0.0)
+        new_states = {}
+        parts = {}
+        for idx, (loss, weight) in enumerate(losses):
+            key = str(idx)
+            if loss.kind == LossKind.BRANCHES:
+                ctx = dataclasses.replace(ctx_base, branches=list(output))
+            elif loss.kind == LossKind.LOGITS:
+                logits = output if not is_branches else output[-1]
+                ctx = dataclasses.replace(ctx_base, embeddings=logits)
+            elif loss.kind == LossKind.SCORES:
+                e = _l2n(emb)
+                if ref_emb is not None:
+                    # score matrix vs the memory (base_update.py:88-97)
+                    ctx = dataclasses.replace(
+                        ctx_base,
+                        scores=e @ _l2n(ref_emb).T,
+                        label_matrix=create_label_matrix(labels, ref_labels),
+                        embeddings=emb,
+                    )
+                else:
+                    ctx = dataclasses.replace(
+                        ctx_base,
+                        scores=e @ e.T,
+                        label_matrix=create_label_matrix(labels),
+                        embeddings=emb,
+                    )
+            else:  # EMBEDDINGS
+                ctx = dataclasses.replace(
+                    ctx_base,
+                    embeddings=emb if emb is not None else output[0],
+                    ref_embeddings=ref_emb,
+                    ref_labels=ref_labels,
+                )
+            value, new_state = loss(ctx, loss_params.get(key), loss_states.get(key))
+            value = jnp.asarray(value)
+            if value.ndim > 0:
+                value = value.mean()
+            total = total + weight * value
+            parts[f"loss_{idx}_{type(loss).__name__}"] = value
+            new_states[key] = new_state
+
+        ortho = aux.get("ortho_loss", jnp.float32(0.0))
+        total = total + ortho
+        parts["ortho_loss"] = ortho
+        return total, (parts, new_states)
+
+    def step(state: TrainState, batch: dict, hyper: dict):
+        rng, step_rng = jax.random.split(state.rng)
+        images = batch["image"]
+        if device_transform is not None:
+            images = device_transform(images)
+        elif images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        labels = batch["label"]
+        indices = batch.get("index")
+
+        fwd = forward_microbatched if sub_batch else forward
+
+        def loss_fn(params, loss_params):
+            output, aux, new_bs = fwd(
+                params, state.batch_stats, step_rng, images, state.model_alpha
+            )
+            # XBM insert BEFORE building refs (memory.py:51-60 inserts then
+            # returns the full memory including the current batch)
+            xbm_state = state.xbm
+            emb_for_mem = output if not isinstance(output, (list, tuple)) else output[0]
+            if xbm is not None:
+                xbm_state = xbm.update(
+                    state.xbm, jax.lax.stop_gradient(emb_for_mem), labels, indices
+                )
+            total, (parts, new_loss_states) = compute_losses(
+                output, aux, labels, xbm_state, loss_params, state.loss_states
+            )
+            return total, (parts, new_loss_states, new_bs, xbm_state, emb_for_mem)
+
+        (total, (parts, new_loss_states, new_bs, new_xbm, emb)), grads = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.loss_params
+            )
+        )
+        param_grads, loss_grads = grads
+
+        # zero out frozen collections (frozen backbones — getter builds this
+        # from model.frozen_param_collections)
+        if frozen_collections:
+            def zero_frozen(path, g):
+                path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+                if any(fc in path_str for fc in frozen_collections):
+                    return jnp.zeros_like(g)
+                return g
+
+            param_grads = jax.tree_util.tree_map_with_path(zero_frozen, param_grads)
+
+        grad_norm = optax.global_norm(param_grads)
+        if clip_grad:
+            scale = jnp.minimum(1.0, clip_grad / (grad_norm + 1e-6))
+            param_grads = jax.tree_util.tree_map(lambda g: g * scale, param_grads)
+
+        # per-entry optimizer updates with warm-up gating
+        new_params = state.params
+        new_opt_states = dict(state.opt_states)
+        for entry in optimizer_entries:
+            opt_state = set_group_lrs(state.opt_states[entry.name], hyper["lrs"][entry.name])
+            if entry.target is None:
+                sub_params, sub_grads = new_params, param_grads
+            else:
+                sub_params, sub_grads = new_params[entry.target], param_grads[entry.target]
+            updates, updated_opt = entry.tx.update(sub_grads, opt_state, sub_params)
+            active = hyper["active"][entry.name]
+            updates = jax.tree_util.tree_map(
+                lambda u: jnp.where(active, u, jnp.zeros_like(u)), updates
+            )
+            updated_opt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(active, new, old), updated_opt, opt_state
+            )
+            applied = optax.apply_updates(sub_params, updates)
+            if entry.target is None:
+                new_params = applied
+            else:
+                new_params = {**new_params, entry.target: applied}
+            new_opt_states[entry.name] = updated_opt
+
+        # loss-internal optimizer (crit.step())
+        new_loss_params = state.loss_params
+        new_loss_opt = state.loss_opt_state
+        if len(jax.tree_util.tree_leaves(state.loss_params)) > 0:
+            l_updates, new_loss_opt = loss_tx.update(
+                loss_grads, state.loss_opt_state, state.loss_params
+            )
+            new_loss_params = optax.apply_updates(state.loss_params, l_updates)
+
+        # per-batch loss schedules (HashNet continuation counter)
+        stepped_states = {}
+        for idx, (loss, _) in enumerate(losses):
+            key = str(idx)
+            stepped_states[key] = loss.step_update(new_loss_states.get(key) or {})
+
+        metrics = {
+            "total_loss": total,
+            "grad_norm": grad_norm,
+            "batch_map": batch_proxy_map(emb, labels, proxy_map_metric)
+            if emb is not None and emb.ndim == 2
+            else jnp.float32(0.0),
+            **parts,
+        }
+
+        new_state = dataclasses.replace(
+            state,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_states=new_opt_states,
+            loss_params=new_loss_params,
+            loss_opt_state=new_loss_opt,
+            loss_states=stepped_states,
+            xbm=new_xbm,
+            rng=rng,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step

@@ -1,0 +1,156 @@
+"""Object factory (reference: main/getter.py ``Getter``).
+
+Same responsibilities — transforms, datasets, samplers, model, losses,
+optimizers, XBM memory — but against explicit registries instead of
+``getattr``-on-module, plus the state initialisation that replaces the
+reference's implicit torch module state.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from irw_tpu.data.registry import QUERY_GALLERY_DATASETS, get_dataset
+from irw_tpu.engine.optimizers import build_optimizers
+from irw_tpu.engine.train_state import TrainState
+from irw_tpu.engine.xbm import XBM
+from irw_tpu.losses import build_losses
+from irw_tpu.models import get_model
+from irw_tpu.samplers import get_sampler
+from irw_tpu.transforms import build_transforms
+from irw_tpu.utils import LOGGER
+
+
+class Getter:
+    """Build every training object from the composed config."""
+
+    def get_transform(self, transform_config):
+        """transform config: {train: {...}, test: {...}} ordered name→kwargs
+        (getter.py:25-35)."""
+        train_cfg = transform_config.get("train") if transform_config else None
+        test_cfg = transform_config.get("test") if transform_config else None
+        return build_transforms(train_cfg or {}), build_transforms(test_cfg or {})
+
+    def get_dataset(self, dataset_config):
+        """Returns (train_dataset, eval_datasets dict) — eval side includes
+        'test' (query/gallery dict for the hashing/InShop families,
+        getter.py:168-233)."""
+        name = dataset_config["name"]
+        kwargs = dict(dataset_config.get("kwargs") or {})
+        kwargs.pop("mode", None)
+        train_ds = get_dataset(name, mode="train", **kwargs)
+        if name in QUERY_GALLERY_DATASETS:
+            test = {
+                "query": get_dataset(name, mode="query", **kwargs),
+                "gallery": get_dataset(name, mode="gallery", **kwargs),
+            }
+        else:
+            try:
+                test = get_dataset(name, mode="test", **kwargs)
+            except Exception:
+                test = train_ds
+        return train_ds, {"test": test}
+
+    def get_sampler(self, dataset, sampler_config):
+        name = sampler_config["name"]
+        kwargs = dict(sampler_config.get("kwargs") or {})
+        return get_sampler(name, dataset, **kwargs)
+
+    def get_model(self, model_config):
+        name = model_config["name"]
+        kwargs = dict(model_config.get("kwargs") or {})
+        LOGGER.info(f"building model {name} ({kwargs})")
+        return get_model(name, **kwargs)
+
+    def get_loss(self, loss_config):
+        return build_losses(loss_config)
+
+    def get_optimizer(self, params, optimizer_config):
+        return build_optimizers(list(optimizer_config), params)
+
+    def get_loss_optimizer(self, loss_config):
+        """One optimizer over all loss-internal params (the reference gave
+        each loss its own AdamW, hash_loss.py:29-31; a single AdamW over the
+        disjoint leaves is equivalent up to shared hyperparams — per-loss
+        kwargs use the first configured loss-optimizer entry)."""
+        for entry in loss_config or []:
+            opt_cfg = (entry.get("kwargs") or {}).get("optimizer")
+            if opt_cfg:
+                kw = dict(opt_cfg.get("kwargs") or {})
+                lr = kw.pop("lr", 1e-4)
+                return optax.adamw(lr, **{k: v for k, v in kw.items() if k == "weight_decay"})
+        return optax.adamw(1e-4, weight_decay=1e-4)
+
+    def get_memory(self, memory_config, embedding_dim: int, label_shape=()):
+        if not memory_config:
+            return None
+        kwargs = dict(memory_config.get("kwargs") or memory_config)
+        kwargs.pop("name", None)
+        return XBM(
+            size=kwargs["size"],
+            embedding_dim=embedding_dim,
+            label_shape=tuple(label_shape),
+            unique=bool(kwargs.get("unique", True)),
+            weight=float(kwargs.get("weight", 1.0)),
+            activate_after=int(kwargs.get("activate_after", 0)),
+        )
+
+
+def init_train_state(
+    model,
+    losses,
+    optimizer_entries,
+    loss_tx,
+    sample_batch,
+    device_transform=None,
+    xbm: XBM | None = None,
+    seed: int = 0,
+) -> TrainState:
+    """Initialise params + every optimizer/loss/XBM state from one sample
+    batch (shape source of truth)."""
+    rng = jax.random.PRNGKey(seed)
+    p_rng, d_rng, b_rng, l_rng, state_rng = jax.random.split(rng, 5)
+
+    images = jnp.asarray(sample_batch["image"])
+    x = device_transform(images) if device_transform else images.astype(jnp.float32) / 255.0
+    variables = model.init(
+        {"params": p_rng, "dropout": d_rng, "band_drop": b_rng}, x, train=True
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    opt_states = {}
+    for entry in optimizer_entries:
+        target = params if entry.target is None else params[entry.target]
+        opt_states[entry.name] = entry.tx.init(target)
+
+    loss_params, loss_states = {}, {}
+    for idx, (loss, _) in enumerate(losses):
+        l_rng, sub = jax.random.split(l_rng)
+        loss_params[str(idx)] = loss.init_params(sub)
+        loss_states[str(idx)] = loss.init_state()
+    loss_opt_state = loss_tx.init(loss_params)
+
+    labels = np.asarray(sample_batch["label"])
+    xbm_state = None
+    if xbm is not None:
+        xbm_state = xbm.init()
+
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_states=opt_states,
+        loss_params=loss_params,
+        loss_opt_state=loss_opt_state,
+        loss_states=loss_states,
+        xbm=xbm_state,
+        rng=state_rng,
+        step=jnp.int32(0),
+        epoch=jnp.int32(0),
+        model_alpha=jnp.float32(1.0),
+    )

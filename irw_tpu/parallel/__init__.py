@@ -1,0 +1,18 @@
+"""Device-mesh parallelism (SURVEY §2.9 / §5.8).
+
+The reference's only multi-device path was single-process
+``nn.DataParallel`` (run.py:132-134).  Here parallelism is first-class JAX:
+one ``jax.sharding.Mesh`` over all chips, batch-sharded train/eval steps,
+``psum``-reduced gradients via sharding constraints (XLA inserts the
+collectives), and a gallery-sharded distance matrix for evaluation.
+"""
+
+from irw_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "pad_to_multiple"]

@@ -1,0 +1,138 @@
+"""Construction root (reference: run.py:20-236).
+
+Builds everything from the composed config — transforms, datasets (with
+optional k-fold splits), sampler, model, losses, optimizers, XBM — then
+initialises or restores the train state and hands off to the engine's
+epoch loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import irw_tpu
+from irw_tpu.config import Config
+from irw_tpu.data.base import subset
+from irw_tpu.engine.checkpoint import load_checkpoint
+from irw_tpu.engine.splits import get_splits
+from irw_tpu.engine.train import train as engine_train
+from irw_tpu.getter import Getter, init_train_state
+from irw_tpu.utils import LOGGER
+
+
+def run(config, base_config=None, checkpoint_dir=None, splits=None):
+    if isinstance(config, dict) and not isinstance(config, Config):
+        config = Config(config)
+    exp = config.experience
+    log_dir = os.path.join(
+        os.path.expanduser(exp.get("log_dir", "experiments")),
+        str(exp.get("experiment_name", "default")),
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    seed = int(exp.get("seed", 333))
+
+    getter = Getter()
+    (host_train, device_train), (host_test, device_test) = getter.get_transform(
+        config.get("transform", {})
+    )
+
+    train_ds, eval_datasets = getter.get_dataset(config.dataset)
+
+    # k-fold split support (run.py:72-84)
+    kfold = exp.get("kfold", None)
+    if kfold and kfold.get("use_kfold"):
+        folds = get_splits(
+            train_ds.labels,
+            train_ds.super_labels,
+            kind=kfold.get("kind", "class_disjoint"),
+            n_splits=int(kfold.get("n_splits", 4)),
+            seed=seed,
+        )
+        fold_idx = int(kfold.get("fold", 0))
+        tr_idx, va_idx = folds[fold_idx]
+        eval_datasets = dict(eval_datasets)
+        eval_datasets["val"] = subset(train_ds, va_idx, mode="eval")
+        train_ds = subset(train_ds, tr_idx, mode="train")
+
+    sampler_cfg = config.dataset.get("sampler", {"name": "RandomSampler", "kwargs": {"batch_size": 32}})
+    sampler = getter.get_sampler(train_ds, sampler_cfg)
+    sampler.seed = seed
+    sampler.reshuffle(0)
+
+    model = getter.get_model(config.model)
+    losses = getter.get_loss(config.get("loss", []))
+    loss_tx = getter.get_loss_optimizer(config.get("loss", []))
+
+    # one sample batch fixes all shapes
+    first_batch_idx = sampler.batches[0]
+    rng = np.random.RandomState(seed)
+    sample_images = np.stack(
+        [host_train(train_ds.load_image(int(i)), rng, True) for i in first_batch_idx]
+    )
+    sample_batch = {
+        "image": sample_images,
+        "label": train_ds.labels[np.asarray(first_batch_idx)],
+        "index": np.asarray(first_batch_idx),
+    }
+
+    x = device_train(sample_batch["image"])
+    variables = model.init(
+        {
+            "params": jax.random.PRNGKey(seed),
+            "dropout": jax.random.PRNGKey(seed + 1),
+            "band_drop": jax.random.PRNGKey(seed + 2),
+        },
+        x,
+        train=True,
+    )
+    optimizer_entries = getter.get_optimizer(variables["params"], config.get("optimizer", [
+        {"name": "AdamW", "params": None, "kwargs": {"lr": 1e-4}}
+    ]))
+
+    # embedding dim for XBM from a forward pass
+    xbm = None
+    memory_cfg = config.get("memory")
+    if memory_cfg:
+        out = model.apply(variables, x, train=False)
+        emb = out[0] if isinstance(out, tuple) else out
+        label_shape = train_ds.labels.shape[1:] if train_ds.labels.ndim > 1 else ()
+        xbm = getter.get_memory(memory_cfg, int(emb.shape[-1]), label_shape)
+
+    state = init_train_state(
+        model, losses, optimizer_entries, loss_tx, sample_batch,
+        device_transform=device_train, xbm=xbm, seed=seed,
+    )
+
+    # resume (run.py:101-119,140-142)
+    if exp.get("resume") or exp.get("maybe_resume"):
+        restored = load_checkpoint(log_dir, template=jax.device_get(state))
+        if restored is not None:
+            restored_state, meta = restored
+            state = jax.tree_util.tree_map(jnp.asarray, restored_state)
+            from irw_tpu.engine.train_state import TrainState
+
+            if not isinstance(state, TrainState):
+                state = TrainState(**restored_state)
+            LOGGER.info(f"resumed from epoch {meta['epoch']}")
+
+    state, metrics = engine_train(
+        model,
+        state,
+        losses,
+        optimizer_entries,
+        loss_tx,
+        train_ds,
+        sampler,
+        eval_datasets,
+        host_train,
+        device_train,
+        config.to_dict() if hasattr(config, "to_dict") else dict(config),
+        log_dir,
+        xbm=xbm,
+    )
+    return metrics

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Aggregate study results (reference: studies/aggregate_results.py).
+
+Reads each run's metrics.jsonl (last value per metric) + the config embedded
+in weights/rolling, groups runs over the non-seed swept parameters and
+prints mean±std per group.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+from collections import defaultdict
+
+import numpy as np
+
+
+def read_last_metrics(run_dir: str) -> dict:
+    path = os.path.join(run_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return {}
+    last: dict = {}
+    with open(path) as f:
+        for line in f:
+            try:
+                last.update(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+    return last
+
+
+def read_config(run_dir: str) -> dict:
+    """Config from the rolling checkpoint (the reference recovers swept
+    values the same way, aggregate_results.py:44-48)."""
+    try:
+        from irw_tpu.engine.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(run_dir)
+        if restored is not None:
+            return restored[1].get("config") or {}
+    except Exception:
+        pass
+    return {}
+
+
+def collect_runs(log_dir: str, study_prefix: str):
+    runs = []
+    for run_dir in sorted(glob.glob(os.path.join(log_dir, f"{study_prefix}*"))):
+        metrics = read_last_metrics(run_dir)
+        if metrics:
+            runs.append((run_dir, metrics))
+    return runs
+
+
+def aggregate(runs, metric_key: str, group_on_seed: bool = False):
+    """Group by experiment name minus the seed component."""
+    groups = defaultdict(list)
+    for run_dir, metrics in runs:
+        name = os.path.basename(run_dir)
+        if not group_on_seed:
+            parts = [p for p in name.split("_") if not p.startswith("seed=")]
+            name = "_".join(parts)
+        value = metrics.get(metric_key)
+        if value is not None:
+            groups[name].append(value)
+    return {
+        name: (float(np.mean(vals)), float(np.std(vals)), len(vals))
+        for name, vals in groups.items()
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--log-dir", default="experiments")
+    parser.add_argument("--study", required=True)
+    parser.add_argument("--metric", default="test/map_level0")
+    parser.add_argument("--csv", default=None)
+    args = parser.parse_args()
+
+    runs = collect_runs(args.log_dir, args.study)
+    print(f"{len(runs)} runs found")
+    summary = aggregate(runs, args.metric)
+    rows = []
+    for name, (mean, std, n) in sorted(summary.items()):
+        print(f"  {name}: {mean:.4f} ± {std:.4f} (n={n})")
+        rows.append({"group": name, "mean": mean, "std": std, "n": n})
+    if args.csv:
+        import csv
+
+        with open(args.csv, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=["group", "mean", "std", "n"])
+            writer.writeheader()
+            writer.writerows(rows)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Config system tests: compose semantics, overrides, sweeps, interpolation
+(the reference leaned on Hydra for all of this)."""
+
+import os
+
+import pytest
+
+from irw_tpu.config import Config, compose, expand_sweeps, parse_overrides
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_compose_defaults():
+    cfg = compose(CONFIG_DIR, "default")
+    assert cfg.experience.seed == 333
+    assert cfg.dataset.name == "SyntheticDataset"
+    assert isinstance(cfg.loss, list) and cfg.loss[0]["name"] == "HashLoss"
+    assert cfg.model.name == "single_band_net"
+    assert "memory" not in cfg  # null group skipped
+
+
+def test_group_swap_and_dotted_override():
+    cfg = compose(
+        CONFIG_DIR,
+        "default",
+        ["loss=roadmap", "experience.max_iter=7", "model.kwargs.nbits=32"],
+    )
+    assert cfg.loss[0]["name"] == "CalibrationLoss"
+    assert cfg.experience.max_iter == 7
+    assert cfg.model.kwargs.nbits == 32
+
+
+def test_override_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        compose(CONFIG_DIR, "default", ["experience.not_a_key=1"])
+    # +prefix force-adds
+    cfg = compose(CONFIG_DIR, "default", ["+experience.new_flag=true"])
+    assert cfg.experience.new_flag is True
+
+
+def test_list_index_override():
+    cfg = compose(CONFIG_DIR, "default", ["loss.0.weight=0.5"])
+    assert cfg.loss[0]["weight"] == 0.5
+
+
+def test_sweep_expansion():
+    jobs = list(expand_sweeps(["a=1,2", "b=x", "c=3,4"]))
+    assert len(jobs) == 4
+    assert sorted(jobs[0]) == ["a=1", "b=x", "c=3"]
+    assert sorted(jobs[-1]) == ["a=2", "b=x", "c=4"]
+
+
+def test_interpolation():
+    cfg = Config({"a": {"b": 5}, "c": "${a.b}", "d": "val_${a.b}"})
+    from irw_tpu.config.compose import _resolve_interpolations
+
+    _resolve_interpolations(cfg, cfg)
+    assert cfg.c == 5
+    assert cfg.d == "val_5"
+
+
+def test_yaml_value_types():
+    groups, sets, adds = parse_overrides(["x.y=true", "x.z=[1,2]", "d=voc"])
+    assert sets == {"x.y": True, "x.z": [1, 2]}
+    assert groups == {"d": "voc"}
+
+
+def test_config_roundtrip():
+    cfg = compose(CONFIG_DIR, "default")
+    d = cfg.to_dict()
+    cfg2 = Config(d)
+    assert cfg2.experience.seed == cfg.experience.seed
+    assert cfg.to_yaml()  # serialisable
+
+
+def test_study_plan_expansion():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from studies.run_plan import expand_jobs, load_plan
+
+    plan = load_plan(os.path.join(os.path.dirname(__file__), "..", "studies", "smoke_plan.yaml"))
+    jobs = expand_jobs(plan)
+    assert len(jobs) == 2
+    names = [name for name, _ in jobs]
+    assert len(set(names)) == 2
+    for name, overrides in jobs:
+        assert any(o.startswith("experience.experiment_name=") for o in overrides)

@@ -1,0 +1,334 @@
+"""Engine tests: optimizers/schedulers, XBM, jitted train step, epoch loop
+end-to-end on the synthetic dataset, checkpoint round-trip, eval suite."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irw_tpu.data import SyntheticDataset
+from irw_tpu.engine.optimizers import ReduceOnPlateau, build_optimizers, make_schedule
+from irw_tpu.engine.train_step import batch_proxy_map, build_train_step
+from irw_tpu.engine.xbm import XBM
+from irw_tpu.getter import Getter, init_train_state
+from irw_tpu.losses import build_losses
+from irw_tpu.models import get_model
+from irw_tpu.samplers import RandomSampler
+from irw_tpu.transforms import build_transforms
+import optax
+
+
+# --- optimizers --------------------------------------------------------------
+
+
+def test_schedule_semantics():
+    cos = make_schedule({"name": "CosineAnnealingLR", "kwargs": {"T_max": 10, "eta_min": 0.0}}, 1.0)
+    assert abs(cos(0) - 1.0) < 1e-9
+    assert abs(cos(10)) < 1e-9
+    ms = make_schedule({"name": "MultiStepLR", "kwargs": {"milestones": [3, 6], "gamma": 0.1}})
+    assert ms(2) == 1.0 and abs(ms(3) - 0.1) < 1e-12 and abs(ms(6) - 0.01) < 1e-12
+    wc = make_schedule({"name": "warmcos", "kwargs": {"total_steps": 100, "warmup_steps": 10}})
+    import math as _m
+
+    assert wc(0) == 0.1  # linear warmup
+    # reference takes min(warmup, cosine) — cosine already governs at t=9
+    assert abs(wc(9) - (1 + _m.cos(_m.pi * 9 / 100)) / 2) < 1e-9
+    assert wc(99) < 0.01
+
+    seq = make_schedule(
+        {"name": "SequentialLR", "kwargs": {
+            "schedulers": [
+                {"name": "ConstantLR"},
+                {"name": "MultiStepLR", "kwargs": {"milestones": [1], "gamma": 0.5}},
+            ],
+            "milestones": [5],
+        }}
+    )
+    assert seq(4) == 1.0 and seq(5) == 1.0 and seq(6) == 0.5
+
+
+def test_plateau_scheduler():
+    p = ReduceOnPlateau(mode="max", factor=0.1, patience=1)
+    assert p.update(0.5) == 1.0
+    assert p.update(0.4) == 1.0  # 1 bad epoch tolerated
+    assert abs(p.update(0.4) - 0.1) < 1e-12  # patience exceeded
+
+
+def test_build_optimizers_groups():
+    params = {
+        "backbone": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros(4)},
+        "conv1": {"kernel": jnp.ones((2, 2))},
+    }
+    cfg = [{
+        "name": "AdamW",
+        "params": None,
+        "kwargs": {"lr": 1e-3, "weight_decay": 1e-4},
+        "bias_kwargs": {"lr": 2e-3},
+        "modules": [{"name": "conv1", "kwargs": {"lr": 5e-3}}],
+        "scheduler_on_epoch": {"name": "CosineAnnealingLR", "kwargs": {"T_max": 10, "eta_min": 0.0}},
+    }]
+    entries = build_optimizers(cfg, params)
+    entry = entries[0]
+    assert entry.group_base_lr == {"weight": 1e-3, "bias": 2e-3, "conv1": 5e-3}
+    state = entry.tx.init(params)
+    lrs = entry.group_lrs(epoch=5, step=0)
+    assert lrs["weight"] < 1e-3  # cosine decayed
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    from irw_tpu.engine.optimizers import set_group_lrs
+
+    state = set_group_lrs(state, lrs)
+    updates, _ = entry.tx.update(grads, state, params)
+    leaves = jax.tree_util.tree_leaves(updates)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+# --- XBM ---------------------------------------------------------------------
+
+
+def test_xbm_unique_slots():
+    xbm = XBM(size=10, embedding_dim=4, unique=True)
+    state = xbm.init()
+    emb = jnp.ones((3, 4))
+    state = xbm.update(state, emb, jnp.asarray([1, 2, 3]), jnp.asarray([0, 5, 9]))
+    e, l, v = xbm.contents(state)
+    assert bool(v[0]) and bool(v[5]) and bool(v[9]) and not bool(v[1])
+    # re-insert same index overwrites the slot
+    state = xbm.update(state, 2 * emb, jnp.asarray([1, 2, 3]), jnp.asarray([0, 5, 9]))
+    e, _, v = xbm.contents(state)
+    assert float(e[0, 0]) == 2.0 and int(v.sum()) == 3
+
+
+def test_xbm_ring_mode():
+    xbm = XBM(size=4, embedding_dim=2, unique=False)
+    state = xbm.init()
+    for i in range(3):
+        state = xbm.update(
+            state, jnp.full((2, 2), i, jnp.float32), jnp.asarray([i, i]), jnp.asarray([0, 1])
+        )
+    e, _, v = xbm.contents(state)
+    assert int(v.sum()) == 4  # wrapped around
+    assert float(e[0, 0]) == 2.0  # oldest overwritten
+
+
+# --- proxy map ---------------------------------------------------------------
+
+
+def test_batch_proxy_map_perfect():
+    emb = jnp.asarray(np.repeat(np.eye(3, dtype=np.float32), 2, axis=0))
+    labels = jnp.asarray([0, 0, 1, 1, 2, 2])
+    assert float(batch_proxy_map(emb, labels)) > 0.99
+
+
+# --- end-to-end train step + loop --------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    dataset = SyntheticDataset(num_samples=64, num_classes=4, image_size=32, seed=0)
+    (host_t, device_t), _ = Getter().get_transform(
+        {"train": {"Resize": {"size": 32}, "CustomTransform": {"decompose_levels": 1}},
+         "test": {"Resize": {"size": 32}, "CustomTransform": {"decompose_levels": 1}}}
+    )
+    model = get_model(
+        "multidino_attention_hashing_ortho",
+        backbone="vit_tiny",
+        nbits=16,
+        frozen_backbone=False,
+        fusion_config={"type": "cross_attention_advanced", "output_dim": 64,
+                       "num_queries": 2, "num_heads": 2, "ortho_weight": 0.01},
+    )
+    losses = build_losses([
+        {"name": "HashLoss", "weight": 1.0,
+         "kwargs": {"num_classes": 4, "embedding_size": 16}},
+    ])
+    return dataset, host_t, device_t, model, losses
+
+
+def _make_batch(dataset, host_t, indices, seed=0):
+    rng = np.random.RandomState(seed)
+    images = np.stack([host_t(dataset.load_image(i), rng, True) for i in indices])
+    return {
+        "image": images,
+        "label": dataset.labels[np.asarray(indices)],
+        "index": np.asarray(indices),
+    }
+
+
+def test_train_step_runs_and_learns(tiny_setup):
+    dataset, host_t, device_t, model, losses = tiny_setup
+    cfg = [{"name": "AdamW", "params": None, "kwargs": {"lr": 3e-3, "weight_decay": 0.0}}]
+    batch = _make_batch(dataset, host_t, np.arange(16))
+
+    import optax as _optax
+
+    loss_tx = _optax.adamw(1e-3)
+    from irw_tpu.getter import init_train_state
+
+    # init needs the device-transformed sample
+    entries = None
+    state0_vars = None
+    # build params first to get optimizer targets
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True,
+    )
+    entries = build_optimizers(cfg, variables["params"])
+    state = init_train_state(
+        model, losses, entries, loss_tx, batch, device_transform=device_t, seed=0
+    )
+
+    step = jax.jit(build_train_step(
+        model, losses, entries, loss_tx, device_transform=device_t, clip_grad=5.0,
+    ))
+    from irw_tpu.engine.train import _build_hyper
+
+    losses_seen = []
+    for i in range(8):
+        hyper = _build_hyper(entries, epoch=1, step=i, warm_up=0, warm_up_key=None)
+        state, metrics = step(state, batch, hyper)
+        losses_seen.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses_seen).all()
+    assert losses_seen[-1] < losses_seen[0]  # it learns on a fixed batch
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_train_step_warmup_gating(tiny_setup):
+    dataset, host_t, device_t, model, losses = tiny_setup
+    cfg = [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-2}}]
+    batch = _make_batch(dataset, host_t, np.arange(8))
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True,
+    )
+    entries = build_optimizers(cfg, variables["params"])
+    loss_tx = optax.adamw(1e-3)
+    state = init_train_state(model, losses, entries, loss_tx, batch, device_transform=device_t)
+    step = jax.jit(build_train_step(model, losses, entries, loss_tx, device_transform=device_t))
+    from irw_tpu.engine.train import _build_hyper
+
+    # warm_up=5, key None → optimizer inactive → params unchanged
+    hyper = _build_hyper(entries, epoch=1, step=0, warm_up=5, warm_up_key=None)
+    before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state2, _ = step(state, batch, hyper)
+    after = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(before), np.asarray(after))
+
+
+def test_xbm_in_step(tiny_setup):
+    dataset, host_t, device_t, model, _ = tiny_setup
+    losses = build_losses([{"name": "CalibrationLoss", "weight": 1.0, "kwargs": {}}])
+    cfg = [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}]
+    xbm = XBM(size=len(dataset), embedding_dim=16, unique=True, activate_after=0)
+    batch = _make_batch(dataset, host_t, np.arange(8))
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True,
+    )
+    entries = build_optimizers(cfg, variables["params"])
+    loss_tx = optax.adamw(1e-3)
+    state = init_train_state(
+        model, losses, entries, loss_tx, batch, device_transform=device_t, xbm=xbm
+    )
+    step = jax.jit(build_train_step(
+        model, losses, entries, loss_tx, xbm=xbm, device_transform=device_t, xbm_active=True,
+    ))
+    from irw_tpu.engine.train import _build_hyper
+
+    hyper = _build_hyper(entries, 1, 0, 0, None)
+    state, metrics = step(state, batch, hyper)
+    assert int(jax.device_get(state.xbm.valid.sum())) == 8
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_full_train_loop_and_eval(tiny_setup, tmp_path):
+    dataset, host_t, device_t, model, losses = tiny_setup
+    from irw_tpu.engine.train import train
+
+    cfg_opt = [{"name": "AdamW", "params": None, "kwargs": {"lr": 3e-3},
+                "scheduler_on_epoch": {"name": "CosineAnnealingLR",
+                                       "kwargs": {"T_max": 4, "eta_min": 1e-5}}}]
+    sampler = RandomSampler(dataset, batch_size=16, seed=0)
+    batch = _make_batch(dataset, host_t, np.arange(16))
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True,
+    )
+    entries = build_optimizers(cfg_opt, variables["params"])
+    loss_tx = optax.adamw(1e-3)
+    state = init_train_state(model, losses, entries, loss_tx, batch, device_transform=device_t)
+
+    eval_ds = SyntheticDataset(num_samples=32, num_classes=4, image_size=32, seed=7)
+    config = {"experience": {
+        "max_iter": 2, "train_eval_freq": 2, "eval_bs": 32, "num_workers": 2,
+        "principal_metric": "map_level0", "eval_split": "test",
+        "distance_metric": "hamming", "seed": 0,
+    }}
+    state, metrics = train(
+        model, state, losses, entries, loss_tx, dataset, sampler,
+        {"test": eval_ds}, host_t, device_t, config, str(tmp_path),
+    )
+    assert "test" in metrics
+    assert "map_level0" in metrics["test"]
+    assert 0.0 <= metrics["test"]["map_level0"] <= 1.0
+    # rolling checkpoint written
+    assert os.path.exists(os.path.join(str(tmp_path), "weights", "rolling"))
+    # metrics logged
+    assert os.path.exists(os.path.join(str(tmp_path), "metrics.jsonl"))
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    dataset, host_t, device_t, model, losses = tiny_setup
+    from irw_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}]
+    batch = _make_batch(dataset, host_t, np.arange(8))
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True,
+    )
+    entries = build_optimizers(cfg, variables["params"])
+    state = init_train_state(model, losses, entries, optax.adamw(1e-3), batch,
+                             device_transform=device_t)
+    save_checkpoint(str(tmp_path), state, {"a": 1}, epoch=3, score=0.5)
+    restored, meta = load_checkpoint(str(tmp_path))
+    assert meta["epoch"] == 3 and meta["config"] == {"a": 1}
+    orig = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    back = jax.tree_util.tree_leaves(restored["params"])
+    for a, b in zip(orig, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_splits():
+    from irw_tpu.engine.splits import get_splits
+
+    labels = np.repeat(np.arange(8), 10)
+    supers = np.repeat(np.arange(4), 20)
+    for kind in ("class_disjoint", "hierarchical", "closed_set"):
+        folds = get_splits(labels, supers, kind=kind, n_splits=4, seed=0)
+        assert len(folds) == 4
+        for tr, va in folds:
+            assert len(set(tr) & set(va)) == 0
+            if kind != "closed_set":
+                assert len(set(labels[tr]) & set(labels[va])) == 0
+
+
+def test_landmark_eval_protocol():
+    from irw_tpu.engine.landmark import landmark_evaluation
+
+    rng = np.random.RandomState(0)
+    g = rng.randn(20, 8).astype(np.float32)
+    q = g[[0, 5]] + 0.01 * rng.randn(2, 8).astype(np.float32)
+    gnd = [
+        {"easy": [0, 1], "hard": [2], "junk": [3]},
+        {"easy": [5], "hard": [6], "junk": []},
+    ]
+    out = landmark_evaluation(q, g, gnd)
+    assert set(out) == {"map_medium", "map_hard"}
+    assert 0.0 <= out["map_medium"] <= 1.0

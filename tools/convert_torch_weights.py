@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Convert torch checkpoints → flax params (one-time, torch-CPU only).
+
+Covers the pretrained-weight paths of the reference (net.py:20-414 pulls
+torchvision ResNets and torch.hub DINOv2; multi_dino_attention.py:473-476
+loads per-band expert checkpoints).  This image has torch-cpu but no
+torchvision/hub weights, so the converter operates on a *state-dict file*
+you provide:
+
+    python tools/convert_torch_weights.py --kind resnet50 --src r50.pth --dst r50.msgpack
+    python tools/convert_torch_weights.py --kind dinov2_vits14 --src d2.pth --dst d2.msgpack
+
+The output is a flax-serialized param tree matching irw_tpu.models.resnet /
+irw_tpu.models.vit module structures.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def _t(x):
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def convert_resnet(sd: dict, stage_sizes=(3, 4, 6, 3), bottleneck=True) -> dict:
+    """torchvision resnet state dict → irw_tpu.models.resnet.ResNet params.
+
+    Layout mapping: conv weights OIHW → HWIO; per-stage blocks become
+    Bottleneck_{i}/BasicBlock_{i} children in definition order; BN affine →
+    BatchNorm_{j} scale/bias, running stats → batch_stats collection.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def conv(key):
+        return {"kernel": _t(sd[key + ".weight"]).transpose(2, 3, 1, 0)}
+
+    def bn(key):
+        return (
+            {"scale": _t(sd[key + ".weight"]), "bias": _t(sd[key + ".bias"])},
+            {"mean": _t(sd[key + ".running_mean"]), "var": _t(sd[key + ".running_var"])},
+        )
+
+    conv_i = bn_i = block_i = 0
+
+    def put_conv(w):
+        nonlocal conv_i
+        params[f"Conv_{conv_i}"] = w
+        conv_i += 1
+
+    def put_bn(pair):
+        nonlocal bn_i
+        params[f"BatchNorm_{bn_i}"], stats[f"BatchNorm_{bn_i}"] = pair
+        bn_i += 1
+
+    put_conv(conv("conv1"))
+    put_bn(bn("bn1"))
+
+    block_name = "Bottleneck" if bottleneck else "BasicBlock"
+    n_convs = 3 if bottleneck else 2
+    for stage, n_blocks in enumerate(stage_sizes, start=1):
+        for b in range(n_blocks):
+            prefix = f"layer{stage}.{b}"
+            bp: dict = {}
+            bs: dict = {}
+            ci = bi = 0
+            for c in range(1, n_convs + 1):
+                bp[f"Conv_{ci}"] = conv(f"{prefix}.conv{c}")
+                ci += 1
+                aff, run = bn(f"{prefix}.bn{c}")
+                bp[f"BatchNorm_{bi}"], bs[f"BatchNorm_{bi}"] = aff, run
+                bi += 1
+            if f"{prefix}.downsample.0.weight" in sd:
+                bp[f"Conv_{ci}"] = conv(f"{prefix}.downsample.0")
+                aff, run = bn(f"{prefix}.downsample.1")
+                bp[f"BatchNorm_{bi}"], bs[f"BatchNorm_{bi}"] = aff, run
+            params[f"{block_name}_{block_i}"] = bp
+            stats[f"{block_name}_{block_i}"] = bs
+            block_i += 1
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_dinov2(sd: dict) -> dict:
+    """DINOv2 ViT state dict → irw_tpu.models.vit.VisionTransformer params."""
+    p: dict = {}
+    p["cls_token"] = _t(sd["cls_token"])
+    p["pos_embed"] = _t(sd["pos_embed"])
+    p["PatchEmbed_0"] = {
+        "Conv_0": {
+            "kernel": _t(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd["patch_embed.proj.bias"]),
+        }
+    }
+    depth = max(int(k.split(".")[1]) for k in sd if k.startswith("blocks.")) + 1
+    for i in range(depth):
+        b = f"blocks.{i}"
+        dim = _t(sd[f"{b}.norm1.weight"]).shape[0]
+        qkv_w = _t(sd[f"{b}.attn.qkv.weight"])  # (3D, D)
+        qkv_b = _t(sd[f"{b}.attn.qkv.bias"])
+        heads_guess = dim // 64
+        q_w, k_w, v_w = np.split(qkv_w, 3, axis=0)
+        q_b, k_b, v_b = np.split(qkv_b, 3, axis=0)
+
+        def head_split(w, b_):
+            # (D, D) torch (out,in) → flax (in, heads, head_dim)
+            return (
+                w.T.reshape(dim, heads_guess, dim // heads_guess),
+                b_.reshape(heads_guess, dim // heads_guess),
+            )
+
+        attn = {}
+        for name, (w, bb) in zip(
+            ("query", "key", "value"),
+            (head_split(q_w, q_b), head_split(k_w, k_b), head_split(v_w, v_b)),
+        ):
+            attn[name] = {"kernel": w, "bias": bb}
+        out_w = _t(sd[f"{b}.attn.proj.weight"])
+        attn["out"] = {
+            "kernel": out_w.T.reshape(heads_guess, dim // heads_guess, dim),
+            "bias": _t(sd[f"{b}.attn.proj.bias"]),
+        }
+        p[f"Block_{i}"] = {
+            "norm1": {"LayerNorm_0": {"scale": _t(sd[f"{b}.norm1.weight"]),
+                                       "bias": _t(sd[f"{b}.norm1.bias"])}},
+            "attn": attn,
+            "ls1": _t(sd[f"{b}.ls1.gamma"]) if f"{b}.ls1.gamma" in sd else np.ones(dim) * 1e-5,
+            "norm2": {"LayerNorm_0": {"scale": _t(sd[f"{b}.norm2.weight"]),
+                                       "bias": _t(sd[f"{b}.norm2.bias"])}},
+            "Mlp_0": {
+                "Dense_0": {"kernel": _t(sd[f"{b}.mlp.fc1.weight"]).T,
+                             "bias": _t(sd[f"{b}.mlp.fc1.bias"])},
+                "Dense_1": {"kernel": _t(sd[f"{b}.mlp.fc2.weight"]).T,
+                             "bias": _t(sd[f"{b}.mlp.fc2.bias"])},
+            },
+            "ls2": _t(sd[f"{b}.ls2.gamma"]) if f"{b}.ls2.gamma" in sd else np.ones(dim) * 1e-5,
+        }
+    p["norm"] = {"LayerNorm_0": {"scale": _t(sd["norm.weight"]), "bias": _t(sd["norm.bias"])}}
+    return {"params": p}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--kind", required=True,
+                        choices=["resnet18", "resnet50", "resnet101", "dinov2_vits14", "dinov2_vitb14"])
+    parser.add_argument("--src", required=True)
+    parser.add_argument("--dst", required=True)
+    args = parser.parse_args()
+
+    import torch
+    from flax.serialization import msgpack_serialize
+
+    sd = torch.load(args.src, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    if args.kind.startswith("resnet"):
+        sizes = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3),
+                 "resnet101": (3, 4, 23, 3)}[args.kind]
+        tree = convert_resnet(sd, sizes, bottleneck=args.kind != "resnet18")
+    else:
+        tree = convert_dinov2(sd)
+    with open(args.dst, "wb") as f:
+        f.write(msgpack_serialize(tree))
+    print(f"wrote {args.dst}")
+
+
+if __name__ == "__main__":
+    main()
