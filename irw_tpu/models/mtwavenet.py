@@ -55,7 +55,7 @@ class _BandedStagedResNet(nn.Module):
             Stem,
             in_axes=1,
             out_axes=1,
-            variable_axes={"params": 0, "batch_stats": 0},
+            variable_axes={"params": 0, "batch_stats": 0, "intermediates": 0},
             split_rngs={"params": True},
         )
         x = vm_stem(width=self.width, dtype=self.dtype)(x)  # train via use_ra closure
@@ -80,7 +80,7 @@ class _BandedStagedResNet(nn.Module):
                 Stage,
                 in_axes=(1, None, None),
                 out_axes=1,
-                variable_axes={"params": 0, "batch_stats": 0},
+                variable_axes={"params": 0, "batch_stats": 0, "intermediates": 0},
                 split_rngs={"params": True},
             )
             # NB: lifted vmap drops kwargs — flags ride positionally
@@ -178,11 +178,9 @@ class FourBranchResNet50Fusion(nn.Module):
 
 
 class HybridMultiBranch(nn.Module):
-    """mtwavenet.py:420-520: ResNet-50 on the LL band + a second (smaller)
-    trunk shared across the three detail bands; normalised concat output.
-    The reference pairs ResNet50 with DenseNet121; here the detail trunk is
-    a narrower ResNet (densenet is not in the zoo yet — tracked in
-    benchmarks/PARITY.md)."""
+    """mtwavenet.py:420-520: ResNet-50 on the LL band + DenseNet-121
+    branches on the three detail bands (vmapped, per-band params);
+    normalised concat output."""
 
     num_classes: int | None = None
     frozen_bn: bool = False
@@ -190,18 +188,19 @@ class HybridMultiBranch(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from irw_tpu.models.densenet import DenseNet
         from irw_tpu.models.resnet import ResNet
 
         ll_feats = ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck, dtype=self.dtype)(
             x[:, 0], train=train, frozen_bn=self.frozen_bn
         )
         detail_trunk = nn.vmap(
-            ResNet,
+            DenseNet,
             in_axes=(1, None, None),
             out_axes=1,
-            variable_axes={"params": 0, "batch_stats": 0},
+            variable_axes={"params": 0, "batch_stats": 0, "intermediates": 0},
             split_rngs={"params": True},
-        )(stage_sizes=(2, 2, 2, 2), block=BasicBlock, dtype=self.dtype)
+        )(dtype=self.dtype)
         detail_feats = detail_trunk(x[:, 1:], train, self.frozen_bn)
         emb = jnp.concatenate(
             [ll_feats, detail_feats.reshape(detail_feats.shape[0], -1)], axis=-1

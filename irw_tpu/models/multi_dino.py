@@ -49,7 +49,7 @@ class BandedViT(nn.Module):
             VisionTransformer,
             in_axes=(1, None),
             out_axes=0,
-            variable_axes={"params": 0, "batch_stats": 0},
+            variable_axes={"params": 0, "batch_stats": 0, "intermediates": 0},
             split_rngs={"params": True, "dropout": True},
         )
         cfg = vit_config(self.backbone, **(self.vit_kwargs or {}))

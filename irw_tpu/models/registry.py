@@ -22,6 +22,7 @@ def register_model(name: str):
 
 def _populate():
     from irw_tpu.models import baselines, hashing_nets, mtwavenet, multi_dino, wresnet
+    from irw_tpu.models.densenet import densenet121 as _densenet121
     from irw_tpu.models.resnet import resnet18, resnet34, resnet50, resnet101
     from irw_tpu.models.vit import make_vit
 
@@ -31,6 +32,7 @@ def _populate():
         "resnet34": resnet34,
         "resnet50": resnet50,
         "resnet101": resnet101,
+        "densenet121": _densenet121,
         "vit_small": lambda **kw: make_vit("vit_small", **kw),
         "vit_base": lambda **kw: make_vit("vit_base", **kw),
         "vit_tiny": lambda **kw: make_vit("vit_tiny", **kw),

@@ -46,7 +46,7 @@ class BandedResNet(nn.Module):
             ResNet,
             in_axes=(1, None, None),
             out_axes=0,
-            variable_axes={"params": 0, "batch_stats": 0},
+            variable_axes={"params": 0, "batch_stats": 0, "intermediates": 0},
             split_rngs={"params": True, "dropout": True},
         )
         block = Bottleneck if self.block_name == "bottleneck" else BasicBlock
