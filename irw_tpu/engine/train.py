@@ -125,6 +125,9 @@ def train(
 
     logger = MetricsLogger(log_dir)
     frozen = tuple(getattr(model, "frozen_param_collections", ()) or ())
+    adaptive = bool(exp.get("adaptive_weights", False)) or any(
+        entry.get("weight") == "adaptative" for entry in (config.get("loss") or [])
+    )
 
     def make_step(xbm_active: bool):
         step_fn = build_train_step(
@@ -139,6 +142,8 @@ def train(
             proxy_map_metric="hamming" if distance_metric == "hamming" else "cosine",
             frozen_collections=frozen,
             xbm_active=xbm_active,
+            adaptive_weights=adaptive,
+            adaptive_head_key=exp.get("adaptive_head_key", "HashHead"),
         )
         return jax.jit(step_fn, donate_argnums=(0,))
 

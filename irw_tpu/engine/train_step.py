@@ -80,6 +80,8 @@ def build_train_step(
     proxy_map_metric: str = "cosine",
     frozen_collections: Sequence[str] = (),
     xbm_active: bool = False,
+    adaptive_weights: bool = False,
+    adaptive_head_key: str = "HashHead",
 ):
     """Returns ``step(state, batch, hyper) -> (state, metrics)`` ready for
     jit/pjit.  ``batch``: image (B,H,W,3)/(B,S,h,w,3) float or uint8,
@@ -229,12 +231,55 @@ def build_train_step(
             )
             return total, (parts, new_loss_states, new_bs, xbm_state, emb_for_mem)
 
-        (total, (parts, new_loss_states, new_bs, new_xbm, emb)), grads = (
-            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-                state.params, state.loss_params
+        if not adaptive_weights:
+            (total, (parts, new_loss_states, new_bs, new_xbm, emb)), grads = (
+                jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, state.loss_params
+                )
             )
-        )
-        param_grads, loss_grads = grads
+            param_grads, loss_grads = grads
+        else:
+            # 'adaptative' re-weighting (base_update.py:115-128): per-loss
+            # gradients via one forward + N pullbacks; each loss is scaled
+            # by mean(head-grad-norms)/its own head-grad-norm, and the final
+            # gradient is the weighted sum of the per-loss gradients.
+            def loss_vec_fn(params, loss_params):
+                total_unused, aux_out = loss_fn(params, loss_params)
+                parts = aux_out[0]
+                vec = jnp.stack(
+                    [v for k, v in parts.items() if k.startswith("loss_")]
+                    + [parts["ortho_loss"]]
+                )
+                return vec, aux_out
+
+            vec, vjp_fn, (parts, new_loss_states, new_bs, new_xbm, emb) = jax.vjp(
+                loss_vec_fn, state.params, state.loss_params, has_aux=True
+            )
+            n_vec = vec.shape[0]
+            per_loss = [vjp_fn(jax.nn.one_hot(i, n_vec)) for i in range(n_vec)]
+
+            def head_norm(g):
+                leaves = []
+                for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+                    name = "/".join(str(getattr(p, "key", p)) for p in path)
+                    if adaptive_head_key in name:
+                        leaves.append(jnp.sum(leaf**2))
+                return jnp.sqrt(sum(leaves) + 1e-12)
+
+            norms = jnp.stack([head_norm(g[0]) for g in per_loss[:-1]])
+            weights = jax.lax.stop_gradient(norms.mean() / (norms + 1e-12))
+            weights = jnp.concatenate([weights, jnp.ones((1,))])  # ortho unweighted
+            param_grads = jax.tree_util.tree_map(
+                lambda *gs: sum(w * g for w, g in zip(weights, gs)),
+                *[g[0] for g in per_loss],
+            )
+            loss_grads = jax.tree_util.tree_map(
+                lambda *gs: sum(w * g for w, g in zip(weights, gs)),
+                *[g[1] for g in per_loss],
+            )
+            total = jnp.sum(vec * weights)
+            for i in range(n_vec - 1):
+                parts[f"adaptive_weight_{i}"] = weights[i]
 
         # zero out frozen collections (frozen backbones — getter builds this
         # from model.frozen_param_collections)

@@ -76,14 +76,25 @@ def get_loss(name: str, **kwargs):
 
 
 def build_losses(loss_config):
-    """list of {name, weight, kwargs} → [(loss, weight)] (getter.py:154-161)."""
+    """list of {name, weight, kwargs} → [(loss, weight)] (getter.py:154-161).
+
+    ``weight: adaptative`` (the grad-norm re-weighting of
+    base_update.py:115-128) maps to weight 1.0 here — the engine detects it
+    via :func:`uses_adaptive_weights` and switches the step to the per-loss
+    VJP path.
+    """
     out = []
     for entry in loss_config:
         name = entry["name"]
-        weight = float(entry.get("weight", 1.0))
+        weight = entry.get("weight", 1.0)
+        weight = 1.0 if weight == "adaptative" else float(weight)
         kwargs = dict(entry.get("kwargs") or {})
         out.append((get_loss(name, **kwargs), weight))
     return out
+
+
+def uses_adaptive_weights(loss_config) -> bool:
+    return any(entry.get("weight") == "adaptative" for entry in loss_config or [])
 
 
 __all__ = [

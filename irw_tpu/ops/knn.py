@@ -28,11 +28,14 @@ def knn(
     metric: str = "cosine",
     same_source: bool = False,
     query_chunk: int = 1024,
+    gallery_valid=None,
 ):
     """Return (indices, scores) of the k nearest gallery items per query.
 
     scores are similarities (larger = closer) regardless of metric: distances
     are negated so downstream ranking code has one convention.
+    ``gallery_valid``: optional (G,) bool mask — invalid rows (sharding
+    padding) rank dead last.
     """
     n_queries, n_gallery = queries.shape[0], gallery.shape[0]
     sim_metric = is_similarity(metric)
@@ -41,6 +44,8 @@ def knn(
         mat = pairwise_distance(q_chunk, gallery, metric)
         if not sim_metric:
             mat = -mat
+        if gallery_valid is not None:
+            mat = jnp.where(gallery_valid[None, :], mat, -jnp.inf)
         if same_source:
             # mask self-matches by index identity, not distance==0 (dup-safe)
             rows = q_index_offset + jnp.arange(q_chunk.shape[0])[:, None]

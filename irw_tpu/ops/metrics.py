@@ -32,6 +32,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from irw_tpu.ops.knn import knn
 from irw_tpu.utils.label_matrix import create_label_matrix
@@ -160,8 +161,12 @@ def _ranked_relevance(
     same_source: bool,
     recall_ks,
     with_curve: bool,
+    gallery_valid=None,
 ):
-    idx, _ = knn(query, gallery, k=k, metric=metric, same_source=same_source)
+    idx, _ = knn(
+        query, gallery, k=k, metric=metric, same_source=same_source,
+        gallery_valid=gallery_valid,
+    )
     if gallery_labels.ndim == 1:
         knn_labels = gallery_labels[idx]
     else:
@@ -204,6 +209,7 @@ def compute_retrieval_metrics(
     recall_ks: Sequence[int] = DEFAULT_RECALL_KS,
     with_curve: bool = False,
     with_hashing_stats: bool = False,
+    gallery_valid=None,
 ):
     """One call = the reference's CustomCalculator.get_accuracy
     (accuracy_calculator.py:293-363) on device.
@@ -213,6 +219,8 @@ def compute_retrieval_metrics(
     the fixed ``maphashing`` (== ``map`` under Hamming ranking at depth k).
     """
     k_resolved = determine_k(query_labels, gallery_labels, k, same_source)
+    if gallery_valid is not None:
+        k_resolved = min(k_resolved, int(np.sum(np.asarray(gallery_valid))))
     out = _ranked_relevance(
         query,
         query_labels,
@@ -223,6 +231,7 @@ def compute_retrieval_metrics(
         same_source=same_source,
         recall_ks=tuple(recall_ks),
         with_curve=with_curve,
+        gallery_valid=gallery_valid,
     )
     out = {key: (val if key.endswith("curve") else float(val)) for key, val in out.items()}
     if with_hashing_stats:

@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh — the
+reference had no distributed testing at all (SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from irw_tpu.ops.metrics import compute_retrieval_metrics
+from irw_tpu.parallel import make_mesh, shard_batch
+from irw_tpu.parallel.eval_sharding import sharded_retrieval_metrics
+
+
+def test_mesh_has_8_devices(devices):
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_shard_batch_pads_and_masks(devices):
+    mesh = make_mesh()
+    batch = {"image": np.zeros((13, 4, 4, 3), np.uint8), "label": np.arange(13)}
+    out = shard_batch(batch, mesh)
+    assert out["image"].shape[0] == 16  # padded to mesh multiple
+    assert int(np.asarray(out["valid"]).sum()) == 13
+
+
+def test_sharded_metrics_match_single_device(devices, rng):
+    q = rng.randn(10, 16).astype(np.float32)
+    g = rng.randn(50, 16).astype(np.float32)
+    ql = rng.randint(0, 5, 10)
+    gl = rng.randint(0, 5, 50)
+    single = compute_retrieval_metrics(q, ql, g, gl, metric="cosine", k=50)
+    sharded = sharded_retrieval_metrics(q, ql, g, gl, metric="cosine", k=50)
+    for key in ("map", "r_precision", "precision_at_1"):
+        assert abs(single[key] - sharded[key]) < 1e-5, key
+
+
+def test_sharded_metrics_multilabel_hamming(devices, rng):
+    codes_q = np.sign(rng.randn(8, 32)).astype(np.float32)
+    codes_g = np.sign(rng.randn(41, 32)).astype(np.float32)  # non-multiple of 8
+    ql = (rng.rand(8, 6) > 0.6).astype(np.float32)
+    gl = (rng.rand(41, 6) > 0.6).astype(np.float32)
+    single = compute_retrieval_metrics(codes_q, ql, codes_g, gl, metric="hamming", k=41)
+    sharded = sharded_retrieval_metrics(codes_q, ql, codes_g, gl, metric="hamming", k=41)
+    assert abs(single["map"] - sharded["map"]) < 1e-5
+
+
+def test_data_parallel_forward_matches_replicated(devices, rng):
+    """Batch-sharded jit forward == single-device forward."""
+    from irw_tpu.models import get_model
+
+    mesh = make_mesh()
+    model = get_model("dino_hash_baseline", backbone="vit_tiny", nbits=8)
+    x = jnp.asarray(rng.rand(16, 32, 32, 3), dtype=jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=False,
+    )
+
+    def fwd(v, inp):
+        out, _ = model.apply(v, inp, train=False)
+        return out
+
+    plain = jax.jit(fwd)(variables, x)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    sharded = jax.jit(fwd, in_shardings=(repl, data), out_shardings=data)(
+        jax.device_put(variables, repl), jax.device_put(x, data)
+    )
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded), atol=1e-5)
