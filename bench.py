@@ -92,7 +92,11 @@ def main():
     import jax.numpy as jnp
 
     sample_bands = jnp.zeros((1, 4, 224, 224, 3), jnp.float32)
-    variables = model.init(init_rngs, sample_bands, train=False)
+    # jit the init: eager init dispatches thousands of tiny ops (very slow
+    # over the axon tunnel)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        init_rngs, sample_bands
+    )
 
     accel = jax.devices()[0]
     accel_time = time_pipeline(accel, batch, iters=10, variables=variables, pipeline=pipeline)

@@ -50,14 +50,21 @@ class EpochLoader:
 
     def _load_batch(self, batch_idx: int, indices) -> dict:
         rng = np.random.RandomState(self.seed * 100003 + batch_idx)
-        images = np.stack(
-            [
-                self.host_transform(self.dataset.load_image(int(i)), rng, self.train)
-                for i in indices
-            ]
-        )
+        samples = [
+            self.host_transform(self.dataset.load_image(int(i)), rng, self.train)
+            for i in indices
+        ]
         labels = self.dataset.labels[np.asarray(indices)]
-        return {"image": images, "label": labels, "index": np.asarray(indices)}
+        out = {"label": labels, "index": np.asarray(indices)}
+        if samples and isinstance(samples[0], list):
+            # multi-crop: group same-shaped crops (SwAV branch)
+            n_crops = len(samples[0])
+            for c in range(n_crops):
+                out[f"crop_{c}"] = np.stack([s[c] for s in samples])
+            out["image"] = out["crop_0"]  # global crop doubles as the default view
+        else:
+            out["image"] = np.stack(samples)
+        return out
 
     def __iter__(self):
         if self.num_workers <= 0:

@@ -122,6 +122,7 @@ def train(
     )
     fast_eval = exp.get("with_fast_eval", False)
     save_model_every = exp.get("save_model", None)
+    profile_epoch = exp.get("profile_epoch", None)  # jax.profiler trace target
 
     logger = MetricsLogger(log_dir)
     frozen = tuple(getattr(model, "frozen_param_collections", ()) or ())
@@ -207,12 +208,23 @@ def train(
             jitted[xbm_on] = make_step(xbm_on)
         step_fn = jitted[xbm_on]
 
+        # TPU profiler trace for one epoch on demand (the reference only had
+        # wall-clock phase timing, train.py:199-208; this gives real traces)
+        profiling = profile_epoch is not None and epoch == profile_epoch
+        if profiling:
+            jax.profiler.start_trace(os.path.join(log_dir, "profile"))
+
         meters = DictAverage()
         for batch in loader:
             global_step = int(jax.device_get(state.step))
             hyper = _build_hyper(optimizer_entries, epoch, global_step, warm_up, warm_up_key)
             state, metrics = step_fn(state, batch, hyper)
             meters.update({k: float(v) for k, v in jax.device_get(metrics).items()})
+
+        if profiling:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            LOGGER.info(f"profiler trace written to {os.path.join(log_dir, 'profile')}")
 
         epoch_metrics = meters.avg
         lr_now = optimizer_entries[0].group_lrs(epoch, int(jax.device_get(state.step)))

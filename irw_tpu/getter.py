@@ -118,8 +118,9 @@ def init_train_state(
 
     images = jnp.asarray(sample_batch["image"])
     x = device_transform(images) if device_transform else images.astype(jnp.float32) / 255.0
-    variables = model.init(
-        {"params": p_rng, "dropout": d_rng, "band_drop": b_rng}, x, train=True
+    # jitted init: eager init dispatches per-op (slow on remote TPU)
+    variables = jax.jit(lambda r, inp: model.init(r, inp, train=True))(
+        {"params": p_rng, "dropout": d_rng, "band_drop": b_rng}, x
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -37,13 +37,69 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 # ---------------------------------------------------------------------------
 
 
+def _color_distort(img: Image.Image, rng, strength: float = 1.0) -> Image.Image:
+    """SwAV-style color jitter + random grayscale (the reference's
+    get_color_distortion, base_dataset.py:133-147)."""
+    from PIL import ImageEnhance, ImageOps
+
+    if rng.rand() < 0.8:
+        for enhancer, span in (
+            (ImageEnhance.Brightness, 0.8 * strength),
+            (ImageEnhance.Contrast, 0.8 * strength),
+            (ImageEnhance.Color, 0.8 * strength),
+        ):
+            img = enhancer(img).enhance(1.0 + span * (rng.rand() * 2 - 1))
+    if rng.rand() < 0.2:
+        img = ImageOps.grayscale(img).convert("RGB")
+    return img
+
+
+def _maybe_blur(img: Image.Image, rng, p: float = 0.5) -> Image.Image:
+    """PILRandomGaussianBlur (base_dataset.py:118-131)."""
+    from PIL import ImageFilter
+
+    if rng.rand() < p:
+        img = img.filter(ImageFilter.GaussianBlur(radius=rng.uniform(0.1, 2.0)))
+    return img
+
+
 class HostTransform:
     """Minimal host-side geometry.  ``ops`` is a list of (name, kwargs):
     Resize, CenterCrop, RandomCrop, RandomResizedCrop,
-    RandomHorizontalFlip.  Output: uint8 (H, W, 3)."""
+    RandomHorizontalFlip, MultiCrop.  Output: uint8 (H, W, 3), or a LIST of
+    arrays when MultiCrop is configured (the SwAV branch,
+    base_dataset.py:94-110)."""
 
     def __init__(self, ops: Sequence[tuple[str, dict]] = (), image_size: int = 224):
         self.ops = list(ops) or [("Resize", {"size": (image_size, image_size)})]
+        self.multi_crop = next((kw for name, kw in self.ops if name == "MultiCrop"), None)
+
+    def _multi_crop(self, img: Image.Image, rng):
+        """2 global + N local crops with color distortion + blur."""
+        cfg = self.multi_crop
+        sizes = cfg.get("size_crops", [224, 96])
+        counts = cfg.get("nmb_crops", [2, 6])
+        min_scales = cfg.get("min_scale_crops", [0.14, 0.05])
+        max_scales = cfg.get("max_scale_crops", [1.0, 0.14])
+        crops = []
+        for size, count, lo, hi in zip(sizes, counts, min_scales, max_scales):
+            for _ in range(count):
+                area = img.width * img.height
+                target = rng.uniform(lo, hi) * area
+                ratio = rng.uniform(3 / 4, 4 / 3)
+                cw = min(int(round(np.sqrt(target * ratio))), img.width)
+                ch = min(int(round(np.sqrt(target / ratio))), img.height)
+                left = rng.randint(0, img.width - cw + 1)
+                top = rng.randint(0, img.height - ch + 1)
+                crop = img.crop((left, top, left + cw, top + ch)).resize(
+                    (size, size), Image.BILINEAR
+                )
+                if rng.rand() < 0.5:
+                    crop = crop.transpose(Image.FLIP_LEFT_RIGHT)
+                crop = _color_distort(crop, rng)
+                crop = _maybe_blur(crop, rng)
+                crops.append(np.asarray(crop, dtype=np.uint8))
+        return crops
 
     @staticmethod
     def _size2d(size):
@@ -52,7 +108,11 @@ class HostTransform:
         return tuple(size)
 
     def __call__(self, img: Image.Image, rng: np.random.RandomState, train: bool):
+        if self.multi_crop is not None and train:
+            return self._multi_crop(img, rng)
         for name, kw in self.ops:
+            if name == "MultiCrop":  # eval path: fall through to plain ops
+                continue
             if name == "Resize":
                 h, w = self._size2d(kw.get("size", 224))
                 img = img.resize((w, h), Image.BILINEAR)
@@ -174,6 +234,7 @@ HOST_OPS = {
     "RandomResizedCrop",
     "RandomHorizontalFlip",
     "FixSize",
+    "MultiCrop",
 }
 DEVICE_OPS = {"Normalize", "CustomTransform", "SWTTransform", "DWTTransform", "ResizeSubBands"}
 SKIP_OPS = {"ToTensor"}  # implicit in the device stage

@@ -120,6 +120,17 @@ def run(config, base_config=None, checkpoint_dir=None, splits=None):
                 state = TrainState(**restored_state)
             LOGGER.info(f"resumed from epoch {meta['epoch']}")
 
+    config_dict = config.to_dict() if hasattr(config, "to_dict") else dict(config)
+    if exp.get("dsch_train"):
+        # DSCH protocol: α continuation + early stopping (run.py:148-213)
+        from irw_tpu.engine.dsch import train_dsch
+
+        state, metrics = train_dsch(
+            model, state, losses, optimizer_entries, loss_tx, train_ds, sampler,
+            eval_datasets, host_train, device_train, config_dict, log_dir,
+        )
+        return metrics
+
     state, metrics = engine_train(
         model,
         state,
@@ -131,7 +142,7 @@ def run(config, base_config=None, checkpoint_dir=None, splits=None):
         eval_datasets,
         host_train,
         device_train,
-        config.to_dict() if hasattr(config, "to_dict") else dict(config),
+        config_dict,
         log_dir,
         xbm=xbm,
     )

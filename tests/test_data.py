@@ -177,3 +177,38 @@ def test_cifar_protocol_from_fake_batches(tmp_path):
     assert len(q) == 1000  # 100/class
     assert len(t) == 5000  # 500/class
     assert len(g) == 7200 - 1000  # database = all − queries
+
+
+def test_multi_crop_branch(dataset):
+    """SwAV multi-crop (base_dataset.py:94-147): 2 global + N local crops
+    with color distortion; eval path falls back to plain ops."""
+    from irw_tpu.data import EpochLoader
+    from irw_tpu.samplers import RandomSampler
+    from irw_tpu.transforms import build_transforms
+
+    host, _ = build_transforms(
+        {"Resize": {"size": 32},
+         "MultiCrop": {"size_crops": [32, 16], "nmb_crops": [2, 3],
+                        "min_scale_crops": [0.5, 0.2], "max_scale_crops": [1.0, 0.5]}}
+    )
+    sampler = RandomSampler(dataset, batch_size=8).reshuffle(0)
+    batch = next(iter(EpochLoader(dataset, sampler.batches, host, num_workers=0)))
+    assert batch["crop_0"].shape == (8, 32, 32, 3)
+    assert batch["crop_1"].shape == (8, 32, 32, 3)
+    assert batch["crop_2"].shape == (8, 16, 16, 3)
+    assert batch["crop_4"].shape == (8, 16, 16, 3)
+    np.testing.assert_array_equal(batch["image"], batch["crop_0"])
+    # eval path: single array
+    ev = next(iter(EpochLoader(dataset, sampler.batches, host, num_workers=0, train=False)))
+    assert ev["image"].shape == (8, 32, 32, 3)
+
+
+def test_dsch_trainer_early_stopping():
+    from irw_tpu.engine.dsch import EarlyStopping, dsch_alpha
+
+    stop = EarlyStopping(patience=2)
+    assert not stop.update(0.5)
+    assert not stop.update(0.4)
+    assert stop.update(0.3)  # 2 bad epochs
+    assert dsch_alpha(0) == 1.0
+    assert dsch_alpha(100) > dsch_alpha(10) > 1.0
