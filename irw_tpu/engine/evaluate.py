@@ -122,6 +122,13 @@ def evaluate(
             apply_fn, variables, datasets["gallery"], host_transform, device_transform,
             batch_size, num_workers,
         )
+        # revisited Oxford/Paris: the query dataset carries per-query gnd →
+        # medium/hard junk-corrected mAP (landmark_evaluation.py protocol)
+        gnd = getattr(datasets["query"], "gnd", None)
+        if gnd is not None:
+            from irw_tpu.engine.landmark import landmark_evaluation
+
+            return landmark_evaluation(np.asarray(q_emb), np.asarray(g_emb), gnd)
         cfg["same_source"] = False
         return _metric_suite(q_emb, q_labels, g_emb, g_labels, cfg)
 

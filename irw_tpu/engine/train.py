@@ -126,6 +126,19 @@ def train(
 
     logger = MetricsLogger(log_dir)
     frozen = tuple(getattr(model, "frozen_param_collections", ()) or ())
+
+    # mesh data-parallelism: with >1 device, replicate the state and shard
+    # every batch over the mesh (XLA inserts the gradient psums)
+    mesh = None
+    if exp.get("use_mesh", True) and jax.device_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from irw_tpu.parallel import make_mesh, shard_train_batch
+
+        mesh = make_mesh()
+        repl = NamedSharding(mesh, P())
+        state = jax.device_put(state, repl)
+        LOGGER.info(f"training data-parallel over {mesh.devices.size} devices")
     adaptive = bool(exp.get("adaptive_weights", False)) or any(
         entry.get("weight") == "adaptative" for entry in (config.get("loss") or [])
     )
@@ -218,6 +231,11 @@ def train(
         for batch in loader:
             global_step = int(jax.device_get(state.step))
             hyper = _build_hyper(optimizer_entries, epoch, global_step, warm_up, warm_up_key)
+            if mesh is not None:
+                from irw_tpu.parallel import shard_train_batch
+
+                batch = shard_train_batch(batch, mesh)
+                hyper = jax.device_put(hyper, repl)
             state, metrics = step_fn(state, batch, hyper)
             meters.update({k: float(v) for k, v in jax.device_get(metrics).items()})
 

@@ -78,13 +78,41 @@ def _populate():
     }
     MODEL_REGISTRY.update(entries)
 
+    # HF-backed towers (clip/siglip2/metaclip2, net.py:335-374): gated —
+    # only registered when transformers' flax classes import cleanly
+    try:
+        from irw_tpu.models.hf_wrapper import HF_DEFAULT_CONFIGS, HuggingFaceVisionWrapper
+
+        for variant in HF_DEFAULT_CONFIGS:
+            MODEL_REGISTRY[variant] = (
+                lambda v=variant, **kw: HuggingFaceVisionWrapper(variant=v, **kw)
+            )
+        MODEL_REGISTRY["clip"] = MODEL_REGISTRY["clip_vit_b16"]
+        MODEL_REGISTRY["openclip"] = MODEL_REGISTRY["clip_vit_b16"]
+    except Exception:  # pragma: no cover - transformers flax unavailable
+        pass
+
 
 def get_model(name: str, **kwargs):
-    """Instantiate a registered model by name (the getter's model path)."""
-    if not MODEL_REGISTRY:
-        _populate()
+    """Instantiate a registered model by name (the getter's model path).
+
+    ``dtype`` may be a string ('bfloat16'/'float32') from YAML configs —
+    the bf16 compute policy is how the TPU build gets its MXU throughput.
+    """
     if name not in MODEL_REGISTRY:
         _populate()
+    import jax.numpy as jnp
+
+    def _fix_dtype(d):
+        if isinstance(d, dict) and isinstance(d.get("dtype"), str):
+            d = dict(d)
+            d["dtype"] = jnp.dtype(d["dtype"])
+        return d
+
+    kwargs = _fix_dtype(kwargs)
+    for sub in ("vit_kwargs",):
+        if isinstance(kwargs.get(sub), dict):
+            kwargs[sub] = _fix_dtype(kwargs[sub])
     try:
         ctor = MODEL_REGISTRY[name]
     except KeyError as exc:

@@ -150,7 +150,10 @@ def determine_k(query_labels, gallery_labels, k, same_source: bool):
     return min(int(k), n_gallery - int(same_source))
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "same_source", "recall_ks", "with_curve"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "metric", "same_source", "recall_ks", "with_curve", "query_chunk"),
+)
 def _ranked_relevance(
     query,
     query_labels,
@@ -162,30 +165,115 @@ def _ranked_relevance(
     recall_ks,
     with_curve: bool,
     gallery_valid=None,
+    query_chunk: int = 512,
 ):
-    idx, _ = knn(
-        query, gallery, k=k, metric=metric, same_source=same_source,
-        gallery_valid=gallery_valid,
+    """Streaming metric suite: queries are scanned in fixed chunks so HBM
+    holds one (chunk, K) relevance block at a time — the reference instead
+    materialised the full ranking in faiss/CPU (SURVEY §3.2 ★HOT; §7 step 2
+    'block-tiled, mesh-sharded, streaming top-k')."""
+    n_queries = query.shape[0]
+    chunk = min(query_chunk, n_queries)
+    pad = (-n_queries) % chunk
+    q = jnp.concatenate([query, jnp.zeros((pad,) + query.shape[1:], query.dtype)], 0)
+    ql = jnp.concatenate(
+        [query_labels, jnp.zeros((pad,) + query_labels.shape[1:], query_labels.dtype)], 0
     )
-    if gallery_labels.ndim == 1:
-        knn_labels = gallery_labels[idx]
-    else:
-        knn_labels = gallery_labels[idx.reshape(-1)].reshape(idx.shape + (gallery_labels.shape[-1],))
-    rel = _rel_of(query_labels, knn_labels)
-    counts, valid = relevance_counts(query_labels, gallery_labels, same_source)
+    qvalid = jnp.arange(n_queries + pad) < n_queries
+    n_chunks = (n_queries + pad) // chunk
 
-    out = {
-        "map": _masked_mean(average_precision(rel), valid),
-        "map_at_r": _masked_mean(average_precision_at_r(rel, counts), valid),
-        "r_precision": _masked_mean(r_precision(rel, counts), valid),
-        "precision_at_1": _masked_mean(rel[:, 0], valid),
-        "mean_reciprocal_rank": _masked_mean(mean_reciprocal_rank(rel), valid),
+    qs = q.reshape((n_chunks, chunk) + q.shape[1:])
+    qls = ql.reshape((n_chunks, chunk) + ql.shape[1:])
+    qvs = qvalid.reshape(n_chunks, chunk)
+    offsets = jnp.arange(n_chunks) * chunk
+
+    sums_init = {
+        "map": 0.0,
+        "map_at_r": 0.0,
+        "r_precision": 0.0,
+        "precision_at_1": 0.0,
+        "mean_reciprocal_rank": 0.0,
+        "n_valid": 0.0,
     }
     for rk in recall_ks:
-        if rk <= rel.shape[1]:
-            out[f"recall_at_{rk}"] = _masked_mean(recall_at_k(rel, rk), valid)
+        if rk <= k:
+            sums_init[f"recall_at_{rk}"] = 0.0
     if with_curve:
-        out["pr_curve"], out["rc_curve"] = precision_recall_curve(rel, counts, valid)
+        sums_init["pr_curve"] = jnp.zeros((k,))
+        sums_init["rc_curve"] = jnp.zeros((k,))
+        sums_init["n_curve"] = 0.0
+    sums_init = {key: jnp.asarray(v, jnp.float32) for key, v in sums_init.items()}
+
+    def body(sums, inp):
+        q_c, ql_c, qv_c, off = inp
+        idx, _ = knn(
+            q_c, gallery, k=k, metric=metric, same_source=False,
+            gallery_valid=gallery_valid,
+            query_chunk=chunk,
+        ) if not same_source else _self_knn(q_c, off)
+        if gallery_labels.ndim == 1:
+            knn_labels = gallery_labels[idx]
+        else:
+            knn_labels = gallery_labels[idx.reshape(-1)].reshape(
+                idx.shape + (gallery_labels.shape[-1],)
+            )
+        rel = _rel_of(ql_c, knn_labels)
+        counts = create_label_matrix(ql_c, gallery_labels).sum(axis=1)
+        if same_source:
+            counts = counts - 1.0
+        valid = (counts > 0) & qv_c
+        w = valid.astype(jnp.float32)
+
+        new = dict(sums)
+        new["map"] = sums["map"] + jnp.sum(average_precision(rel) * w)
+        new["map_at_r"] = sums["map_at_r"] + jnp.sum(average_precision_at_r(rel, counts) * w)
+        new["r_precision"] = sums["r_precision"] + jnp.sum(r_precision(rel, counts) * w)
+        new["precision_at_1"] = sums["precision_at_1"] + jnp.sum(rel[:, 0] * w)
+        new["mean_reciprocal_rank"] = sums["mean_reciprocal_rank"] + jnp.sum(
+            mean_reciprocal_rank(rel) * w
+        )
+        new["n_valid"] = sums["n_valid"] + jnp.sum(w)
+        for rk in recall_ks:
+            if rk <= k:
+                new[f"recall_at_{rk}"] = sums[f"recall_at_{rk}"] + jnp.sum(
+                    recall_at_k(rel, rk) * w
+                )
+        if with_curve:
+            ranks = jnp.arange(1, k + 1, dtype=rel.dtype)
+            cum = jnp.cumsum(rel, axis=1)
+            prec = cum / ranks[None, :]
+            recall = cum / jnp.maximum(counts, 1.0)[:, None]
+            ok = (valid & (recall[:, -1] >= 1.0 - 1e-6)).astype(jnp.float32)[:, None]
+            new["pr_curve"] = sums["pr_curve"] + (prec * ok).sum(axis=0)
+            new["rc_curve"] = sums["rc_curve"] + (recall * ok).sum(axis=0)
+            new["n_curve"] = sums["n_curve"] + ok.sum()
+        return new, None
+
+    def _self_knn(q_c, off):
+        """same-source: mask self-match by global index."""
+        from irw_tpu.ops.distances import is_similarity, pairwise_distance
+
+        mat = pairwise_distance(q_c, gallery, metric)
+        if not is_similarity(metric):
+            mat = -mat
+        if gallery_valid is not None:
+            mat = jnp.where(gallery_valid[None, :], mat, -jnp.inf)
+        rows = off + jnp.arange(q_c.shape[0])[:, None]
+        cols = jnp.arange(gallery.shape[0])[None, :]
+        mat = jnp.where(rows == cols, -jnp.inf, mat)
+        scores, idx = jax.lax.top_k(mat, k)
+        return idx, scores
+
+    sums, _ = jax.lax.scan(body, sums_init, (qs, qls, qvs, offsets))
+    denom = jnp.maximum(sums["n_valid"], 1.0)
+    out = {
+        key: sums[key] / denom
+        for key in sums
+        if key not in ("n_valid", "pr_curve", "rc_curve", "n_curve")
+    }
+    if with_curve:
+        curve_denom = jnp.maximum(sums["n_curve"], 1.0)
+        out["pr_curve"] = sums["pr_curve"] / curve_denom
+        out["rc_curve"] = sums["rc_curve"] / curve_denom
     return out
 
 

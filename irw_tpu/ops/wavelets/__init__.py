@@ -35,7 +35,12 @@ from irw_tpu.ops.wavelets.lifting import (
     subband_stack,
 )
 from irw_tpu.ops.wavelets.dwt import dwt2, idwt2, iswt2, swt2, wavedec2, waverec2
-from irw_tpu.ops.wavelets.pallas_dwt import haar_dwt2_pallas, haar_multi_level_pallas
+from irw_tpu.ops.wavelets.pallas_dwt import (
+    cdf97_multi_level_pallas,
+    haar_dwt2_pallas,
+    haar_multi_level_pallas,
+    lifting_multi_level_pallas,
+)
 
 __all__ = [
     "WAVELET_FILTERS",
@@ -55,4 +60,6 @@ __all__ = [
     "waverec2",
     "haar_dwt2_pallas",
     "haar_multi_level_pallas",
+    "cdf97_multi_level_pallas",
+    "lifting_multi_level_pallas",
 ]

@@ -31,6 +31,14 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# CDF-9/7 lifting coefficients (Getreuer factorisation, cdf_97.py:14-27)
+CDF97_A1 = -1.58613432
+CDF97_A2 = -0.05298011854
+CDF97_A3 = 0.8829110762
+CDF97_A4 = 0.4435068522
+CDF97_K = 1.149604398
+
+
 def _pair_lift_sublane(x):
     """Haar lifting along axis -2 (must be even): (..., 2M, W) → s, d each
     (..., M, W)."""
@@ -43,13 +51,43 @@ def _pair_lift_sublane(x):
     return s * SQRT2, d / SQRT2
 
 
-def _haar_level(x):
-    """One 2D Haar lifting level on (..., H, W) → (ll, lh, hl, hh)."""
-    s, d = _pair_lift_sublane(x)  # rows pass
+def _shift_next_sublane(v):
+    """v[i] → v[i+1] along axis -2, zero pad at the end (pos_shift_4d)."""
+    zeros = jnp.zeros_like(v[..., :1, :])
+    return jnp.concatenate([v[..., 1:, :], zeros], axis=-2)
+
+
+def _shift_prev_sublane(v):
+    """v[i] → v[i−1] along axis -2, zero pad at the start (neg_shift_4d)."""
+    zeros = jnp.zeros_like(v[..., :1, :])
+    return jnp.concatenate([zeros, v[..., :-1, :]], axis=-2)
+
+
+def _cdf97_pair_lift_sublane(x):
+    """CDF-9/7 lifting along axis -2: the 4 lifting steps with zero-padded
+    ±1 neighbour shifts (cdf_97.py:33-73)."""
+    *lead, h, w = x.shape
+    xr = x.reshape(*lead, h // 2, 2, w)
+    even = xr[..., 0, :]
+    odd = xr[..., 1, :]
+    odd = odd + CDF97_A1 * (even + _shift_next_sublane(even))
+    even = even + CDF97_A2 * (_shift_prev_sublane(odd) + odd)
+    odd = odd + CDF97_A3 * (even + _shift_next_sublane(even))
+    even = even + CDF97_A4 * (_shift_prev_sublane(odd) + odd)
+    return even * CDF97_K, odd / CDF97_K
+
+
+_LIFTS = {"haar": _pair_lift_sublane, "cdf97": _cdf97_pair_lift_sublane}
+
+
+def _lift_level(x, basis: str):
+    """One 2D lifting level on (..., H, W) → (ll, lh, hl, hh)."""
+    lift = _LIFTS[basis]
+    s, d = lift(x)  # rows pass
     s_t = jnp.swapaxes(s, -1, -2)
     d_t = jnp.swapaxes(d, -1, -2)
-    ll_t, hl_t = _pair_lift_sublane(s_t)  # cols pass on transposed minors
-    lh_t, hh_t = _pair_lift_sublane(d_t)
+    ll_t, hl_t = lift(s_t)  # cols pass on transposed minors
+    lh_t, hh_t = lift(d_t)
     ll = jnp.swapaxes(ll_t, -1, -2)
     hl = jnp.swapaxes(hl_t, -1, -2)
     lh = jnp.swapaxes(lh_t, -1, -2)
@@ -57,10 +95,14 @@ def _haar_level(x):
     return ll * V6[0], lh * V6[1], hl * V6[2], hh * V6[3]
 
 
-def _haar_kernel(levels: int, x_ref, out_ref):
+def _haar_level(x):
+    return _lift_level(x, "haar")
+
+
+def _dwt_kernel(levels: int, basis: str, x_ref, out_ref):
     x = x_ref[...]
     for lvl in range(levels):
-        ll, lh, hl, hh = _haar_level(x)
+        ll, lh, hl, hh = _lift_level(x, basis)
         if lvl < levels - 1:
             # recurse on the scaled LL, like HaarLifting.forward
             # (custom_transforms.py:48-55) recursing on fast_haar_2d_op output
@@ -71,10 +113,16 @@ def _haar_kernel(levels: int, x_ref, out_ref):
     out_ref[:, 3] = hh
 
 
-@functools.partial(jax.jit, static_argnames=("levels", "tile_n", "interpret"))
-def haar_multi_level_pallas(x, levels: int = 1, tile_n: int = 8, interpret: bool | None = None):
-    """Multi-level Haar lifting DWT, coarsest-level subbands only (the
-    reference CustomTransform's coarse_only output).
+def _haar_kernel(levels: int, x_ref, out_ref):
+    _dwt_kernel(levels, "haar", x_ref, out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "basis", "tile_n", "interpret"))
+def lifting_multi_level_pallas(
+    x, levels: int = 1, basis: str = "haar", tile_n: int = 8, interpret: bool | None = None
+):
+    """Fused multi-level lifting DWT (haar or cdf97), coarsest-level
+    subbands only (the reference CustomTransform's coarse_only output).
 
     Args:
       x: (N, H, W) float array; H, W divisible by 2**levels.
@@ -91,7 +139,7 @@ def haar_multi_level_pallas(x, levels: int = 1, tile_n: int = 8, interpret: bool
         x = jnp.concatenate([x, jnp.zeros((pad_n, h, w), x.dtype)], axis=0)
     grid = ((n + pad_n) // tile_n,)
     out = pl.pallas_call(
-        functools.partial(_haar_kernel, levels),
+        functools.partial(_dwt_kernel, levels, basis),
         out_shape=jax.ShapeDtypeStruct((n + pad_n, 4, ho, wo), x.dtype),
         grid=grid,
         in_specs=[
@@ -103,6 +151,14 @@ def haar_multi_level_pallas(x, levels: int = 1, tile_n: int = 8, interpret: bool
         interpret=interpret,
     )(x)
     return out[:n]
+
+
+def haar_multi_level_pallas(x, levels: int = 1, tile_n: int = 8, interpret: bool | None = None):
+    return lifting_multi_level_pallas(x, levels, "haar", tile_n, interpret)
+
+
+def cdf97_multi_level_pallas(x, levels: int = 1, tile_n: int = 8, interpret: bool | None = None):
+    return lifting_multi_level_pallas(x, levels, "cdf97", tile_n, interpret)
 
 
 def haar_dwt2_pallas(x, interpret: bool | None = None):

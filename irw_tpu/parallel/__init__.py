@@ -13,6 +13,14 @@ from irw_tpu.parallel.mesh import (
     pad_to_multiple,
     replicated,
     shard_batch,
+    shard_train_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "pad_to_multiple"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "shard_train_batch",
+    "pad_to_multiple",
+]

@@ -38,6 +38,21 @@ def pad_to_multiple(array, multiple: int, axis: int = 0):
     return np.pad(np.asarray(array), widths), n
 
 
+def shard_train_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
+    """Shard a training batch (leading axis) over the mesh — no padding:
+    the batch size must divide the mesh (losses must not see pad rows)."""
+    n_dev = mesh.devices.size
+    sharding = batch_sharding(mesh, axis_name)
+    out = {}
+    for key, value in batch.items():
+        value = np.asarray(value)
+        assert value.shape[0] % n_dev == 0, (
+            f"train batch dim {value.shape[0]} not divisible by mesh size {n_dev}"
+        )
+        out[key] = jax.device_put(value, sharding)
+    return out
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     """Device-put a host batch with the leading axis sharded over the mesh.
     Pads the batch to a multiple of the mesh size, adding a ``valid`` mask."""

@@ -194,3 +194,14 @@ def test_pallas_single_level(rng):
     ll, lh, hl, hh = haar_dwt2(x)
     np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(ll), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out[:, 3]), np.asarray(hh), atol=1e-5)
+
+
+@pytest.mark.parametrize("levels", [1, 2])
+def test_pallas_cdf97_matches_jnp(levels, rng):
+    from irw_tpu.ops.wavelets import cdf97_multi_level_pallas
+
+    x = jnp.asarray(rng.randn(3, 32, 32), dtype=jnp.float32)
+    out = cdf97_multi_level_pallas(x, levels=levels, tile_n=4)
+    approx, details = lifting_decompose(x, levels=levels, basis="cdf97")
+    expect = jnp.stack([approx[-1], *details[-1]], axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-4)
