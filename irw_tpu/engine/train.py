@@ -101,6 +101,7 @@ def train(
     log_dir: str,
     xbm=None,
     eval_fn=None,
+    instrumentor=None,
 ):
     """Run the full training.  ``eval_datasets``: split name → dataset (or
     {'query','gallery'} dict).  Returns (state, metrics_by_split)."""
@@ -229,6 +230,8 @@ def train(
 
         meters = DictAverage()
         for batch in loader:
+            if instrumentor is not None:
+                instrumentor.snapshot_batch(batch)
             global_step = int(jax.device_get(state.step))
             hyper = _build_hyper(optimizer_entries, epoch, global_step, warm_up, warm_up_key)
             if mesh is not None:
@@ -254,6 +257,10 @@ def train(
             f"batch_map={epoch_metrics.get('batch_map', 0.0):.4f} "
             f"[{format_time(time.time() - t0)}]"
         )
+
+        if instrumentor is not None:
+            # train_new's fixed-batch replay dumps (train_new.py:88-131)
+            instrumentor.maybe_dump(epoch, eval_variables(state), device_transform)
 
         score = None
         if eval_freq and (epoch % eval_freq == 0 or epoch == max_iter):

@@ -22,6 +22,10 @@ def register_model(name: str):
 
 def _populate():
     from irw_tpu.models import baselines, hashing_nets, mtwavenet, multi_dino, wresnet
+    from irw_tpu.models.convnext import (
+        convnext_small as _convnext_small,
+        convnext_tiny as _convnext_tiny,
+    )
     from irw_tpu.models.densenet import densenet121 as _densenet121
     from irw_tpu.models.resnet import resnet18, resnet34, resnet50, resnet101
     from irw_tpu.models.vit import make_vit
@@ -33,6 +37,9 @@ def _populate():
         "resnet50": resnet50,
         "resnet101": resnet101,
         "densenet121": _densenet121,
+        "convnext": _convnext_tiny,
+        "convnext_tiny": _convnext_tiny,
+        "convnext_small": _convnext_small,
         "vit_small": lambda **kw: make_vit("vit_small", **kw),
         "vit_base": lambda **kw: make_vit("vit_base", **kw),
         "vit_tiny": lambda **kw: make_vit("vit_tiny", **kw),

@@ -121,6 +121,20 @@ def run(config, base_config=None, checkpoint_dir=None, splits=None):
             LOGGER.info(f"resumed from epoch {meta['epoch']}")
 
     config_dict = config.to_dict() if hasattr(config, "to_dict") else dict(config)
+
+    # instrumented training (reference run.py:144-146 → train_new):
+    # hooks_configs.active attaches the fixed-batch instrumentor
+    instrumentor = None
+    hooks_cfg = exp.get("hooks_configs") or {}
+    if hooks_cfg.get("active"):
+        from irw_tpu.hooks import FixedBatchInstrumentor
+
+        instrumentor = FixedBatchInstrumentor(
+            model,
+            os.path.join(log_dir, "instrumentation"),
+            target_epochs=tuple(hooks_cfg.get("target_epochs", (1, 5, 10, 25, 40, 50))),
+        )
+
     if exp.get("dsch_train"):
         # DSCH protocol: α continuation + early stopping (run.py:148-213)
         from irw_tpu.engine.dsch import train_dsch
@@ -145,5 +159,6 @@ def run(config, base_config=None, checkpoint_dir=None, splits=None):
         config_dict,
         log_dir,
         xbm=xbm,
+        instrumentor=instrumentor,
     )
     return metrics

@@ -230,3 +230,25 @@ def test_grad_flows_through_flagship(rng):
     grads = jax.grad(loss_fn)(variables["params"])
     gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_convnext_backbone(rng):
+    m = get_model("convnext_tiny")
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), dtype=jnp.float32)
+    variables = m.init(RNGS, x, train=False)
+    out = m.apply(variables, x, train=False)
+    assert out.shape == (1, 768)
+
+
+def test_hf_clip_tower(rng):
+    m = get_model("clip_vit_b32")
+    x = jnp.asarray(rng.rand(1, 224, 224, 3), dtype=jnp.float32)
+    variables = m.init(RNGS, x, train=False)
+    out, aux = m.apply(variables, x, train=False)
+    assert out.shape == (1, 768)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=1), 1.0, atol=1e-4)
+
+
+def test_dtype_string_parsing(rng):
+    m = get_model("vit_tiny", dtype="bfloat16")
+    assert m.dtype == jnp.bfloat16
