@@ -20,7 +20,8 @@ import time
 import numpy as np
 
 
-def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=8):
+def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=8,
+                   dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
 
@@ -32,6 +33,7 @@ def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=
         backbone=backbone,
         nbits=nbits,
         frozen_backbone=True,
+        vit_kwargs={"dtype": dtype},  # bf16 backbone compute = MXU peak path
         fusion_config={
             "type": "cross_attention_advanced",
             "output_dim": embed_dim,
@@ -60,11 +62,13 @@ def time_pipeline(device, batch, iters, variables, pipeline):
     b = jax.device_put(batch, device)
     with jax.default_device(device):
         fn = jax.jit(pipeline)
-        fn(v, b).block_until_ready()  # compile + warmup
+        np.asarray(fn(v, b))  # compile + warmup (host fetch = hard sync)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(v, b)
-        out.block_until_ready()
+        # block_until_ready alone does not reliably sync through the axon
+        # tunnel — a host fetch of the (tiny) codes array does
+        np.asarray(out)
         return (time.perf_counter() - t0) / iters
 
 

@@ -120,6 +120,7 @@ class VisionTransformer(nn.Module):
     num_prompts: int = 0
     num_domains: int = 1
     img_size: int = 224
+    scan_blocks: bool = False  # nn.scan over depth: one block in the HLO
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -151,15 +152,35 @@ class VisionTransformer(nn.Module):
             tokens = jnp.concatenate([tokens[:, :1], prompts, tokens[:, 1:]], axis=1)
 
         features = []
-        for _ in range(self.depth):
-            tokens = Block(
-                num_heads=self.num_heads,
-                mlp_ratio=self.mlp_ratio,
-                dropout=self.dropout,
-                num_domains=self.num_domains,
-                dtype=self.dtype,
-            )(tokens, train=train, domain=domain)
-            features.append(tokens)
+        block_kw = dict(
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            dropout=self.dropout,
+            num_domains=self.num_domains,
+            dtype=self.dtype,
+        )
+        if self.scan_blocks and not return_features:
+            # collapse the depth into one lax.scan'd block: HLO holds one
+            # block body instead of `depth` copies — compile time drops by
+            # ~the depth factor (essential for the big flagship graphs)
+            class BlockStep(nn.Module):
+                @nn.compact
+                def __call__(self, carry, _):
+                    toks, dom = carry
+                    toks = Block(**block_kw)(toks, train, dom)
+                    return (toks, dom), None
+
+            stack = nn.scan(
+                BlockStep,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+            )(name="blocks")
+            (tokens, _), _ = stack((tokens, domain), None)
+        else:
+            for _ in range(self.depth):
+                tokens = Block(**block_kw)(tokens, train=train, domain=domain)
+                features.append(tokens)
 
         tokens = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm")(
             tokens, domain
@@ -202,9 +223,9 @@ def vit_config(name: str, **kw) -> dict:
     """Constructor kwargs for a named ViT variant (usable both directly and
     through linen transforms like nn.vmap)."""
     if name in ("dinov2_vits14", "vit_small", "deit_small"):
-        base = dict(embed_dim=384, depth=12, num_heads=6)
+        base = dict(embed_dim=384, depth=12, num_heads=6, scan_blocks=True)
     elif name in ("dinov2_vitb14", "vit_base", "deit_base"):
-        base = dict(embed_dim=768, depth=12, num_heads=12)
+        base = dict(embed_dim=768, depth=12, num_heads=12, scan_blocks=True)
     elif name in ("vit_tiny", "test_tiny"):
         # a tiny variant for tests/benches of the surrounding machinery
         base = dict(embed_dim=64, depth=2, num_heads=2, patch_size=8)
