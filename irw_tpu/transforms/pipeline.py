@@ -194,7 +194,30 @@ class DeviceTransform:
                 levels = int(kw.get("decompose_levels", kw.get("levels", 1)))
                 basis = kw.get("basis", "haar")
                 ll_only = bool(kw.get("ll_only", False))
-                x = subband_stack(x, levels=levels, basis=basis, ll_only=ll_only)
+                coarse_only = bool(kw.get("coarse_only", True))
+                if coarse_only or levels == 1:
+                    x = subband_stack(x, levels=levels, basis=basis, ll_only=ll_only)
+                else:
+                    # full multi-level stack (the WCNN_ALL 7-band input the
+                    # reference left NotImplemented, custom_transforms.py:107):
+                    # coarsest LL + every level's details, finer levels
+                    # average-pooled to the coarsest size
+                    from irw_tpu.ops.wavelets.lifting import lifting_decompose
+
+                    img = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+                    approx, details = lifting_decompose(img, levels=levels, basis=basis)
+                    target_hw = approx[-1].shape[-2:]
+                    bands = [approx[-1]]
+                    for lvl in range(levels - 1, -1, -1):
+                        for det in details[lvl]:
+                            factor = det.shape[-1] // target_hw[1]
+                            if factor > 1:
+                                b_, c_, h_, w_ = det.shape
+                                det = det.reshape(
+                                    b_, c_, target_hw[0], factor, target_hw[1], factor
+                                ).mean(axis=(3, 5))
+                            bands.append(det)
+                    x = jnp.moveaxis(jnp.stack(bands, axis=1), 2, -1)
             elif name == "SWTTransform":
                 level = int(kw.get("level", 1))
                 wavelet = kw.get("wavelet", "haar")

@@ -86,3 +86,45 @@ def test_study_plan_expansion():
     assert len(set(names)) == 2
     for name, overrides in jobs:
         assert any(o.startswith("experience.experiment_name=") for o in overrides)
+
+
+def test_every_config_option_composes_and_builds():
+    """Every YAML in every group must compose; losses and models must build
+    from their configs (registry-level parity with the reference tree)."""
+    import glob
+
+    from irw_tpu.losses import build_losses
+    from irw_tpu.models import get_model
+
+    groups = {}
+    for group in ("dataset", "model", "loss", "optimizer", "transform", "memory"):
+        groups[group] = sorted(
+            os.path.splitext(os.path.basename(p))[0]
+            for p in glob.glob(os.path.join(CONFIG_DIR, group, "*.yaml"))
+        )
+    assert len(groups["model"]) >= 10 and len(groups["loss"]) >= 10
+    for group, options in groups.items():
+        for option in options:
+            cfg = compose(CONFIG_DIR, "default", [f"{group}={option}"])
+            if group == "loss":
+                build_losses(cfg.loss)
+            if group == "model":
+                get_model(cfg.model["name"], **dict(cfg.model.get("kwargs") or {}))
+
+
+def test_all_subbands_transform_seven_bands():
+    import numpy as np
+
+    from irw_tpu.transforms import build_transforms
+
+    host, device = build_transforms(
+        {"Resize": {"size": 32},
+         "CustomTransform": {"decompose_levels": 2, "basis": "haar", "coarse_only": False},
+         "ResizeSubBands": {"size": 16}}
+    )
+    rng = np.random.RandomState(0)
+    from irw_tpu.data import SyntheticDataset
+
+    img = host(SyntheticDataset(num_samples=1, image_size=32)[0]["image"], rng, False)
+    out = np.asarray(device(img[None]))
+    assert out.shape == (1, 7, 16, 16, 3)  # LL2 + 3 details L2 + 3 details L1
