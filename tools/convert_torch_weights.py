@@ -141,6 +141,18 @@ def convert_dinov2(sd: dict) -> dict:
     return {"params": p}
 
 
+def stack_scanned_blocks(params: dict, depth: int) -> dict:
+    """Convert unrolled ``Block_{i}`` params to the ``scan_blocks`` layout
+    (one ``blocks`` child with a stacked leading depth axis)."""
+    import jax
+
+    blocks = [params.pop(f"Block_{i}") for i in range(depth)]
+    # scanned layout (verified against VisionTransformer(scan_blocks=True)
+    # init): params["blocks"]["Block_0"][...] with a stacked depth axis
+    params["blocks"] = {"Block_0": jax.tree_util.tree_map(lambda *xs: np.stack(xs), *blocks)}
+    return params
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--kind", required=True,
