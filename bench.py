@@ -126,6 +126,24 @@ def main():
     )
     eval_seconds = time.perf_counter() - t0
 
+    # TPU↔CPU metric parity (the SURVEY §7 step-8 A/B harness): the same
+    # retrieval eval on the CPU backend must agree to float tolerance
+    small_codes = codes[:512]
+    small_labels = labels[:512]
+    res_small_tpu = compute_retrieval_metrics(
+        small_codes, small_labels, small_codes, small_labels,
+        metric="hamming", k=512, same_source=True,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        res_small_cpu = compute_retrieval_metrics(
+            jax.device_put(small_codes, jax.devices("cpu")[0]),
+            jax.device_put(small_labels, jax.devices("cpu")[0]),
+            jax.device_put(small_codes, jax.devices("cpu")[0]),
+            jax.device_put(small_labels, jax.devices("cpu")[0]),
+            metric="hamming", k=512, same_source=True,
+        )
+    parity_diff = abs(res_small_tpu["map"] - res_small_cpu["map"])
+
     print(json.dumps({
         "metric": "flagship_swt_embed_throughput",
         "value": round(tpu_ips, 2),
@@ -135,6 +153,7 @@ def main():
             "cpu_reference_ips": round(cpu_ips, 2),
             "voc_full_eval_seconds": round(eval_seconds, 3),
             "voc_eval_map": round(res["map"], 4),
+            "tpu_cpu_map_parity_diff": round(float(parity_diff), 6),
             "backend": jax.default_backend(),
         },
     }))

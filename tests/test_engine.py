@@ -332,3 +332,61 @@ def test_landmark_eval_protocol():
     out = landmark_evaluation(q, g, gnd)
     assert set(out) == {"map_medium", "map_hard"}
     assert 0.0 <= out["map_medium"] <= 1.0
+
+
+def test_evaluate_query_gallery_dict(tiny_setup):
+    """InShop/hashing-style eval: separate query and gallery datasets
+    (getter.py:169-233 / evaluate.py:101-135)."""
+    dataset, host_t, device_t, model, losses = tiny_setup
+    from irw_tpu.data import SyntheticDataset
+    from irw_tpu.engine.evaluate import evaluate
+
+    query = SyntheticDataset(num_samples=16, num_classes=4, image_size=32, seed=11)
+    gallery = SyntheticDataset(num_samples=48, num_classes=4, image_size=32, seed=12)
+    batch = _make_batch(dataset, host_t, np.arange(8))
+    x = device_t(batch["image"])
+    variables = m_vars = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True,
+    )
+
+    def apply_eval(v, inp):
+        return model.apply(v, inp, train=False)
+
+    out = evaluate(
+        apply_eval, variables, {"query": query, "gallery": gallery},
+        host_t, device_t, batch_size=16, num_workers=0,
+        top_k=48, distance_metric="hamming",
+    )
+    assert "map_level0" in out
+    assert 0.0 <= out["map_level0"] <= 1.0
+
+
+def test_landmark_dataset_routing(tmp_path, rng):
+    """Datasets carrying gnd route to the revisited protocol."""
+    from irw_tpu.engine.evaluate import evaluate
+    from irw_tpu.data import SyntheticDataset
+
+    query = SyntheticDataset(num_samples=4, num_classes=2, image_size=32, seed=1)
+    gallery = SyntheticDataset(num_samples=12, num_classes=2, image_size=32, seed=2)
+    query.gnd = [
+        {"easy": [0, 1], "hard": [2], "junk": [3]} for _ in range(4)
+    ]
+    from irw_tpu.models import get_model
+
+    model = get_model("dino_hash_baseline", backbone="vit_tiny", nbits=8)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=False,
+    )
+
+    def apply_eval(v, inp):
+        return model.apply(v, inp, train=False)
+
+    from irw_tpu.transforms import build_transforms
+
+    host_t, device_t = build_transforms({"Resize": {"size": 32}})
+    out = evaluate(apply_eval, variables, {"query": query, "gallery": gallery},
+                   host_t, device_t, batch_size=8, num_workers=0)
+    assert set(out) == {"map_medium", "map_hard"}
