@@ -43,12 +43,17 @@ def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=
         },
     )
 
+    from irw_tpu.ops.wavelets.pallas_dwt import haar_swt2_pallas
+
     def pipeline(variables, images_u8):
-        # device transform: /255 + stationary wavelet → 4-band stack
+        # device transform: /255 + fused Pallas stationary wavelet → 4 bands
         x = images_u8.astype(jnp.float32) / 255.0
-        img = jnp.moveaxis(x, -1, 1)
-        (ca, (lh, hl, hh)), = swt2(img, "haar", level=1)
-        bands = jnp.moveaxis(jnp.stack([ca, lh, hl, hh], axis=1), 2, -1)
+        img = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+        b, c, h, w = img.shape
+        flat = haar_swt2_pallas(img.reshape(b * c, h, w))
+        bands = jnp.moveaxis(
+            flat.reshape(b, c, 4, h, w).transpose(0, 2, 1, 3, 4), 2, -1
+        )
         codes, _ = model.apply(variables, bands, train=False)
         return codes
 

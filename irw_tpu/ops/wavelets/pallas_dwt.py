@@ -164,3 +164,51 @@ def cdf97_multi_level_pallas(x, levels: int = 1, tile_n: int = 8, interpret: boo
 def haar_dwt2_pallas(x, interpret: bool | None = None):
     """Single-level convenience wrapper: (N, H, W) → (N, 4, H/2, W/2)."""
     return haar_multi_level_pallas(x, levels=1, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Stationary (undecimated) Haar transform — the flagship VOC-study transform
+# (SWTTransform, custom_transforms.py:160-169), fused into one VMEM pass.
+# Periodic extension == the circular rolls used here.
+# ---------------------------------------------------------------------------
+
+
+def _swt_kernel(x_ref, out_ref):
+    x = x_ref[...]
+    s = SQRT2 / 2.0  # haar dec filter coefficient 1/√2
+    h, w = x.shape[-2], x.shape[-1]
+    # rows pass (along H = axis -2): lo[i] = s(x[i] + x[i+1]) periodic
+    # (pltpu.roll wants non-negative shifts: roll(n-1) == roll(-1))
+    xn = pltpu.roll(x, shift=h - 1, axis=1)
+    lo_h = s * (x + xn)
+    hi_h = s * (x - xn)
+    # cols pass (along W = lanes)
+    lo_hn = pltpu.roll(lo_h, shift=w - 1, axis=2)
+    hi_hn = pltpu.roll(hi_h, shift=w - 1, axis=2)
+    out_ref[:, 0] = s * (lo_h + lo_hn)  # cA (LL)
+    out_ref[:, 1] = s * (hi_h + hi_hn)  # cH (high along H)
+    out_ref[:, 2] = s * (lo_h - lo_hn)  # cV (high along W)
+    out_ref[:, 3] = s * (hi_h - hi_hn)  # cD
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def haar_swt2_pallas(x, tile_n: int = 8, interpret: bool | None = None):
+    """Level-1 stationary Haar transform, size-preserving: (N, H, W) →
+    (N, 4, H, W) ordered [cA, cH, cV, cD] (== swt2(x, 'haar', 1))."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n, h, w = x.shape
+    pad_n = (-n) % tile_n
+    if pad_n:
+        x = jnp.concatenate([x, jnp.zeros((pad_n, h, w), x.dtype)], axis=0)
+    out = pl.pallas_call(
+        _swt_kernel,
+        out_shape=jax.ShapeDtypeStruct((n + pad_n, 4, h, w), x.dtype),
+        grid=((n + pad_n) // tile_n,),
+        in_specs=[pl.BlockSpec((tile_n, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (tile_n, 4, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(x)
+    return out[:n]

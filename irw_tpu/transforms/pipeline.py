@@ -222,8 +222,16 @@ class DeviceTransform:
                 level = int(kw.get("level", 1))
                 wavelet = kw.get("wavelet", "haar")
                 img = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
-                (ca, (lh, hl, hh)), *_ = swt2(img, wavelet, level=level)
-                stack = jnp.stack([ca, lh, hl, hh], axis=1)  # (B, 4, C, H, W)
+                if wavelet == "haar" and level == 1:
+                    # fused Pallas kernel for the flagship haar/level-1 path
+                    from irw_tpu.ops.wavelets.pallas_dwt import haar_swt2_pallas
+
+                    b, c, hh_, ww_ = img.shape
+                    flat = haar_swt2_pallas(img.reshape(b * c, hh_, ww_))
+                    stack = flat.reshape(b, c, 4, hh_, ww_).transpose(0, 2, 1, 3, 4)
+                else:
+                    (ca, (lh, hl, hh)), *_ = swt2(img, wavelet, level=level)
+                    stack = jnp.stack([ca, lh, hl, hh], axis=1)  # (B, 4, C, H, W)
                 x = jnp.moveaxis(stack, 2, -1)
             elif name == "DWTTransform":
                 level = int(kw.get("level", 1))

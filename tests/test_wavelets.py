@@ -205,3 +205,13 @@ def test_pallas_cdf97_matches_jnp(levels, rng):
     approx, details = lifting_decompose(x, levels=levels, basis="cdf97")
     expect = jnp.stack([approx[-1], *details[-1]], axis=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-4)
+
+
+def test_pallas_swt_matches_jnp(rng):
+    from irw_tpu.ops.wavelets.pallas_dwt import haar_swt2_pallas
+
+    x = jnp.asarray(rng.randn(3, 32, 32), dtype=jnp.float32)
+    out = haar_swt2_pallas(x, tile_n=2)
+    (ca, (lh, hl, hh)), = swt2(x, "haar", level=1)
+    expect = jnp.stack([ca, lh, hl, hh], axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
