@@ -390,3 +390,40 @@ def test_landmark_dataset_routing(tmp_path, rng):
     out = evaluate(apply_eval, variables, {"query": query, "gallery": gallery},
                    host_t, device_t, batch_size=8, num_workers=0)
     assert set(out) == {"map_medium", "map_hard"}
+
+
+def test_training_improves_retrieval(tiny_setup, tmp_path):
+    """Learning guard: a few epochs on separable synthetic classes must lift
+    Hamming mAP clearly above the untrained model's."""
+    dataset, host_t, device_t, model, losses = tiny_setup
+    from irw_tpu.engine.evaluate import evaluate
+    from irw_tpu.engine.train import train
+
+    eval_ds = SyntheticDataset(num_samples=48, num_classes=4, image_size=32, seed=9)
+
+    def apply_eval(v, inp):
+        return model.apply(v, inp, train=False)
+
+    cfg_opt = [{"name": "AdamW", "params": None, "kwargs": {"lr": 3e-3}}]
+    batch = _make_batch(dataset, host_t, np.arange(16))
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True,
+    )
+    before = evaluate(apply_eval, variables, eval_ds, host_t, device_t,
+                      batch_size=48, num_workers=0, distance_metric="hamming")
+
+    entries = build_optimizers(cfg_opt, variables["params"])
+    loss_tx = optax.adamw(1e-3)
+    state = init_train_state(model, losses, entries, loss_tx, batch,
+                             device_transform=device_t, seed=0)
+    sampler = RandomSampler(dataset, batch_size=16, seed=0)
+    config = {"experience": {"max_iter": 3, "train_eval_freq": 3, "eval_bs": 48,
+                             "num_workers": 0, "distance_metric": "hamming",
+                             "use_mesh": False, "seed": 0}}
+    state, metrics = train(model, state, losses, entries, loss_tx, dataset,
+                           sampler, {"test": eval_ds}, host_t, device_t,
+                           config, str(tmp_path))
+    after = metrics["test"]["map_level0"]
+    assert after > before["map_level0"] + 0.05, (before["map_level0"], after)
