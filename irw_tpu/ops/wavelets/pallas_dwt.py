@@ -192,12 +192,17 @@ def _swt_kernel(x_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
-def haar_swt2_pallas(x, tile_n: int = 8, interpret: bool | None = None):
+def haar_swt2_pallas(x, tile_n: int | None = None, interpret: bool | None = None):
     """Level-1 stationary Haar transform, size-preserving: (N, H, W) →
     (N, 4, H, W) ordered [cA, cH, cV, cD] (== swt2(x, 'haar', 1))."""
     if interpret is None:
         interpret = _interpret_default()
     n, h, w = x.shape
+    if tile_n is None:
+        # VMEM budget: in block + 4-band out block + ~4 temporaries,
+        # double-buffered → ~12 copies of (tile, H, W) f32 under 12 MB
+        tile_n = max(1, (12 * 1024 * 1024) // (h * w * 4 * 12))
+        tile_n = min(tile_n, n, 8)
     pad_n = (-n) % tile_n
     if pad_n:
         x = jnp.concatenate([x, jnp.zeros((pad_n, h, w), x.dtype)], axis=0)

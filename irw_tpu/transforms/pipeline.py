@@ -195,7 +195,23 @@ class DeviceTransform:
                 basis = kw.get("basis", "haar")
                 ll_only = bool(kw.get("ll_only", False))
                 coarse_only = bool(kw.get("coarse_only", True))
-                if coarse_only or levels == 1:
+                divisible = (
+                    x.shape[-3] % (2**levels) == 0 and x.shape[-2] % (2**levels) == 0
+                )
+                if (coarse_only or levels == 1) and not ll_only and divisible and basis in ("haar", "cdf97"):
+                    # fused Pallas multi-level lifting kernel
+                    from irw_tpu.ops.wavelets.pallas_dwt import lifting_multi_level_pallas
+
+                    img = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
+                    b, c, h, w = img.shape
+                    flat = lifting_multi_level_pallas(
+                        img.reshape(b * c, h, w), levels=levels, basis=basis
+                    )
+                    ho, wo = flat.shape[-2:]
+                    x = jnp.moveaxis(
+                        flat.reshape(b, c, 4, ho, wo).transpose(0, 2, 1, 3, 4), 2, -1
+                    )
+                elif coarse_only or levels == 1:
                     x = subband_stack(x, levels=levels, basis=basis, ll_only=ll_only)
                 else:
                     # full multi-level stack (the WCNN_ALL 7-band input the
