@@ -21,7 +21,7 @@ import numpy as np
 
 
 def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=8,
-                   dtype="bfloat16"):
+                   dtype="bfloat16", use_pallas=True):
     import jax
     import jax.numpy as jnp
 
@@ -46,14 +46,17 @@ def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=
     from irw_tpu.ops.wavelets.pallas_dwt import haar_swt2_pallas
 
     def pipeline(variables, images_u8):
-        # device transform: /255 + fused Pallas stationary wavelet → 4 bands
+        # device transform: /255 + stationary wavelet → 4-band stack
         x = images_u8.astype(jnp.float32) / 255.0
         img = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)
-        b, c, h, w = img.shape
-        flat = haar_swt2_pallas(img.reshape(b * c, h, w))
-        bands = jnp.moveaxis(
-            flat.reshape(b, c, 4, h, w).transpose(0, 2, 1, 3, 4), 2, -1
-        )
+        if use_pallas:
+            b, c, h, w = img.shape
+            flat = haar_swt2_pallas(img.reshape(b * c, h, w))
+            stack = flat.reshape(b, c, 4, h, w).transpose(0, 2, 1, 3, 4)
+        else:
+            (ca, (lh, hl, hh)), = swt2(img, "haar", level=1)
+            stack = jnp.stack([ca, lh, hl, hh], axis=1)
+        bands = jnp.moveaxis(stack, 2, -1)
         codes, _ = model.apply(variables, bands, train=False)
         return codes
 
@@ -115,7 +118,9 @@ def main():
     # torch/pywt reference pipeline) — small batch, per-image extrapolation
     cpu = jax.devices("cpu")[0]
     cpu_batch = batch[:8]
-    cpu_time = time_pipeline(cpu, cpu_batch, iters=1, variables=variables, pipeline=pipeline)
+    # CPU leg uses the jnp wavelet path (compiled pallas is TPU-only)
+    _, cpu_pipeline = build_pipeline(use_pallas=False)
+    cpu_time = time_pipeline(cpu, cpu_batch, iters=1, variables=variables, pipeline=cpu_pipeline)
     cpu_ips = cpu_batch.shape[0] / cpu_time
 
     # VOC-sized retrieval eval wall-clock (5717 × 5717 Hamming + metric suite)
