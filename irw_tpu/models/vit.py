@@ -77,26 +77,61 @@ class DomainLayerNorm(nn.Module):
         return y * s + b
 
 
+def _flash_mha(y, num_heads: int, dtype, name: str):
+    """Multi-head self-attention through the Pallas flash-attention kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention): no materialised
+    (N, N) attention matrix.  Sequence is padded to a lane multiple and the
+    padding masked off via segment ids."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, n, d = y.shape
+    hd = d // num_heads
+    qkv = nn.DenseGeneral((3, num_heads, hd), axis=-1, dtype=dtype, name=f"{name}_qkv")(y)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+    # (B, N, H, hd) → (B, H, N, hd)
+    q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+    pad = (-n) % 128
+    if pad:
+        widths = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = (jnp.pad(t, widths) for t in (q, k, v))
+        seg = jnp.concatenate(
+            [jnp.ones((b, n), jnp.int32), jnp.full((b, pad), 2, jnp.int32)], axis=1
+        )
+        segment_ids = SegmentIds(q=seg, kv=seg)
+    else:
+        segment_ids = None
+    out = flash_attention(q, k, v, segment_ids=segment_ids, sm_scale=1.0 / hd**0.5)
+    out = jnp.swapaxes(out[:, :, :n, :], 1, 2).reshape(b, n, d)
+    return nn.Dense(d, dtype=dtype, name=f"{name}_out")(out)
+
+
 class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     layerscale_init: float = 1e-5
     num_domains: int = 1
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, domain=None):
         dim = x.shape[-1]
         y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm1")(x, domain)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            dropout_rate=self.dropout,
-            deterministic=not train,
-            dtype=self.dtype,
-            name="attn",
-        )
-        attn_out = attn(y, y)
+        if self.use_flash:
+            attn_out = _flash_mha(y, self.num_heads, self.dtype, name="attn")
+        else:
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                dropout_rate=self.dropout,
+                deterministic=not train,
+                dtype=self.dtype,
+                name="attn",
+            )
+            attn_out = attn(y, y)
         ls1 = self.param("ls1", nn.initializers.constant(self.layerscale_init), (dim,))
         x = x + attn_out * ls1
         y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm2")(x, domain)
@@ -121,6 +156,7 @@ class VisionTransformer(nn.Module):
     num_domains: int = 1
     img_size: int = 224
     scan_blocks: bool = False  # nn.scan over depth: one block in the HLO
+    use_flash: bool = False  # Pallas flash attention (TPU only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -157,6 +193,7 @@ class VisionTransformer(nn.Module):
             mlp_ratio=self.mlp_ratio,
             dropout=self.dropout,
             num_domains=self.num_domains,
+            use_flash=self.use_flash,
             dtype=self.dtype,
         )
         if self.scan_blocks and not return_features:
