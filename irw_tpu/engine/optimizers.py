@@ -205,14 +205,19 @@ def _base_tx(name: str, kwargs: dict):
     return optax.inject_hyperparams(factory)(learning_rate=lr), lr
 
 
-def _label_tree(params, modules_cfg: list):
-    """Leaf → group label: '<module>' for params whose path contains a
+def _label_tree(params, modules_cfg: list, frozen_collections=()):
+    """Leaf → group label: 'frozen' for frozen-collection params (excluded
+    from optimization entirely — the reference's requires_grad=False,
+    getter.py:53-56 skips them), '<module>' for params whose path contains a
     configured module name, else 'bias' for 1-D/bias leaves, else 'weight'
     (the reference's split_weight_bias + specific-modules logic)."""
     module_names = [m["name"] for m in modules_cfg]
 
     def label(path, leaf):
         path_str = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        for frozen in frozen_collections:
+            if frozen in path_str:
+                return "frozen"
         for mod in module_names:
             if mod in path_str:
                 return mod
@@ -244,8 +249,12 @@ class OptimizerEntry:
         return {label: base * factor * val_scale for label, base in self.group_base_lr.items()}
 
 
-def build_optimizers(opt_config: list, params) -> list[OptimizerEntry]:
-    """Build one OptimizerEntry per config entry (getter.py:37-126)."""
+def build_optimizers(opt_config: list, params, frozen_collections=()) -> list[OptimizerEntry]:
+    """Build one OptimizerEntry per config entry (getter.py:37-126).
+
+    ``frozen_collections``: param-path substrings (e.g. a frozen backbone's
+    module name) whose leaves get ``optax.set_to_zero`` — no moments are
+    allocated or updated for them."""
     entries = []
     for cfg in opt_config:
         cfg = dict(cfg)
@@ -256,7 +265,7 @@ def build_optimizers(opt_config: list, params) -> list[OptimizerEntry]:
         modules_cfg = list(cfg.get("modules") or [])
 
         target_params = params if target is None else params[target]
-        labels = _label_tree(target_params, modules_cfg)
+        labels = _label_tree(target_params, modules_cfg, frozen_collections)
 
         transforms, base_lrs = {}, {}
         tx_w, lr_w = _base_tx(name, kwargs)
@@ -270,6 +279,8 @@ def build_optimizers(opt_config: list, params) -> list[OptimizerEntry]:
             tx_m, lr_m = _base_tx(name, mod_kwargs)
             transforms[mod["name"]] = tx_m
             base_lrs[mod["name"]] = lr_m
+        if frozen_collections:
+            transforms["frozen"] = optax.set_to_zero()
 
         tx = optax.multi_transform(transforms, labels)
 
@@ -295,6 +306,8 @@ def set_group_lrs(opt_state, lrs: dict):
     inject_hyperparams optimizer state (functionally)."""
 
     def rewrite(masked, label):
+        if label not in lrs:  # e.g. the 'frozen' set_to_zero group
+            return masked
         inject = masked.inner_state  # MaskedState wraps InjectHyperparamsState
         hp = dict(inject.hyperparams)
         hp["learning_rate"] = jnp.asarray(lrs[label], dtype=jnp.float32)

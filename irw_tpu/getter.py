@@ -70,8 +70,10 @@ class Getter:
     def get_loss(self, loss_config):
         return build_losses(loss_config)
 
-    def get_optimizer(self, params, optimizer_config):
-        return build_optimizers(list(optimizer_config), params)
+    def get_optimizer(self, params, optimizer_config, frozen_collections=()):
+        return build_optimizers(
+            list(optimizer_config), params, frozen_collections=frozen_collections
+        )
 
     def get_loss_optimizer(self, loss_config):
         """One optimizer over all loss-internal params (the reference gave

@@ -10,6 +10,7 @@ resolve, see tools/convert_torch_weights.py).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from irw_tpu.models.layers import HashHead, binarize, l2_normalize
@@ -31,6 +32,8 @@ class DINOHashBaseline(nn.Module):
         cls, _ = make_vit(self.backbone, **(self.vit_kwargs or {}))(
             x, train=train and not self.frozen_backbone
         )
+        if self.frozen_backbone:
+            cls = jax.lax.stop_gradient(cls)
         logits = HashHead(self.nbits, use_bn=True)(cls, train=train)
         return binarize(logits, train), {"ortho_loss": jnp.float32(0.0)}
 
@@ -52,6 +55,8 @@ class SingleBandNet(nn.Module):
         cls, _ = make_vit(self.backbone, **(self.vit_kwargs or {}))(
             x[:, self.band], train=train and not self.frozen_backbone
         )
+        if self.frozen_backbone:
+            cls = jax.lax.stop_gradient(cls)
         aux = {"ortho_loss": jnp.float32(0.0)}
         if self.mode == "hashing":
             logits = HashHead(self.nbits, use_bn=True)(cls, train=train)
@@ -76,6 +81,8 @@ class DinoModelCE(nn.Module):
         cls, _ = make_vit(self.backbone, **(self.vit_kwargs or {}))(
             x, train=train and not self.frozen_backbone
         )
+        if self.frozen_backbone:
+            cls = jax.lax.stop_gradient(cls)
         aux = {"ortho_loss": jnp.float32(0.0)}
         if train:
             return nn.Dense(self.num_classes, kernel_init=nn.initializers.zeros)(cls), aux
@@ -97,6 +104,8 @@ class MultiDinoModel(nn.Module):
         cls, _ = BandedViT(backbone=self.backbone, vit_kwargs=self.vit_kwargs)(
             bands, train=train and not self.frozen_backbone
         )
+        if self.frozen_backbone:
+            cls = jax.lax.stop_gradient(cls)
         aux = {"ortho_loss": jnp.float32(0.0)}
         if train:
             return [cls[:, i] for i in range(cls.shape[1])], aux

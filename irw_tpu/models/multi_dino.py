@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from irw_tpu.models.fusion import get_fusion_head
@@ -78,6 +79,10 @@ class MultiDinoAttention(nn.Module):
         bands, _ = _banded_vit(self.backbone, self.num_bands, **(self.vit_kwargs or {}))(
             x, train=train and not self.frozen_backbone
         )
+        if self.frozen_backbone:
+            # like requires_grad=False in the reference: the backward pass
+            # skips the backbone entirely
+            bands = jax.lax.stop_gradient(bands)
         head = get_fusion_head(self.fusion_config or {"output_dim": dim}, dim)
         fused, aux = head(bands, train=train)
         return l2_normalize(fused), aux
@@ -107,6 +112,9 @@ class MultiDinoHashing(nn.Module):
         bands, _ = _banded_vit(self.backbone, self.num_bands, **(self.vit_kwargs or {}))(
             x, train=train and not self.frozen_backbone
         )
+        if self.frozen_backbone:
+            # requires_grad=False equivalent: no backward through backbones
+            bands = jax.lax.stop_gradient(bands)
         head = get_fusion_head(self.fusion_config or {"output_dim": dim}, dim)
         fused, aux = head(bands, train=train)
         logits = HashHead(self.nbits, use_bn=self.use_bn)(fused, train=train)
@@ -163,6 +171,10 @@ class SharedDinoHashing(nn.Module):
             domain=domain,
             prompts=prompts,
         )
+        if self.frozen_backbone and self.num_prompts == 0 and not self.use_dsln:
+            # frozen shared tower with no trainable tokens inside: skip the
+            # backbone backward (prompts/DSLN need grads THROUGH the tower)
+            cls = jax.lax.stop_gradient(cls)
         bands = jnp.swapaxes(cls.reshape(s, b, dim), 0, 1)  # (B, S, D)
 
         head = get_fusion_head(self.fusion_config or {"output_dim": dim}, dim)

@@ -90,9 +90,11 @@ def run(config, base_config=None, checkpoint_dir=None, splits=None):
         x,
         train=True,
     )
-    optimizer_entries = getter.get_optimizer(variables["params"], config.get("optimizer", [
-        {"name": "AdamW", "params": None, "kwargs": {"lr": 1e-4}}
-    ]))
+    optimizer_entries = getter.get_optimizer(
+        variables["params"],
+        config.get("optimizer", [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-4}}]),
+        frozen_collections=tuple(getattr(model, "frozen_param_collections", ()) or ()),
+    )
 
     # embedding dim for XBM from a forward pass
     xbm = None
