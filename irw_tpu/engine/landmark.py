@@ -23,7 +23,9 @@ def compute_ap(ranks: np.ndarray, nres: int) -> float:
     ap = 0.0
     recall_step = 1.0 / nres
     for j, rank in enumerate(ranks):
-        precision_0 = 0.0 if rank == 0 else j / rank
+        # revisitop convention: precision before the first retrieved item
+        # is 1.0 at rank 0
+        precision_0 = 1.0 if rank == 0 else j / rank
         precision_1 = (j + 1) / (rank + 1)
         ap += (precision_0 + precision_1) * recall_step / 2.0
     return ap

@@ -427,3 +427,20 @@ def test_training_improves_retrieval(tiny_setup, tmp_path):
                            config, str(tmp_path))
     after = metrics["test"]["map_level0"]
     assert after > before["map_level0"] + 0.05, (before["map_level0"], after)
+
+
+def test_landmark_ap_hand_computed():
+    """Junk-corrected AP on a hand-worked example (revisitop trapezoid)."""
+    from irw_tpu.engine.landmark import _ap_for_query, compute_ap
+
+    # ranked order: [junk, pos, neg, pos]; junk removed -> positives at
+    # corrected ranks 0 and 2 among [pos, neg, pos]
+    order = np.array([10, 0, 11, 1])
+    positives, junk = {0, 1}, {10}
+    ap = _ap_for_query(order, positives, junk)
+    # revisitop trapezoid: rank 0 -> (precision_0 = 1.0 by convention,
+    # precision_1 = 1/1); rank 2 -> precision_0 = 1/2, precision_1 = 2/3
+    expected = ((1.0 + 1.0) / 2 + (0.5 + 2.0 / 3.0) / 2) / 2
+    assert abs(ap - expected) < 1e-9
+    # perfect retrieval: AP = 1
+    assert compute_ap(np.array([0, 1, 2]), 3) == pytest.approx(1.0)
