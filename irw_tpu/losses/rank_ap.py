@@ -74,7 +74,7 @@ class SmoothRankAP(LossBase):
         assert return_type in ("1-mAP", "1-AP", "AP", "mAP")
         self.return_type = return_type
 
-    def rank_approx(self, diff, target_matrix):
+    def rank_approx(self, diff, target_matrix, general: bool = False):
         raise NotImplementedError
 
     def ap_per_query(self, scores, target):
@@ -90,8 +90,33 @@ class SmoothRankAP(LossBase):
         ap = jnp.sum(pos_rk / rk, axis=1) / jnp.maximum(target.sum(axis=1), 1.0)
         return ap
 
+    def ap_per_query_general(self, scores, target):
+        """Non-square (B, M) scores — the XBM/memory path (the reference's
+        general_forward, smooth_rank_ap.py:78-110), vectorised per query via
+        lax.scan so memory stays at M²."""
+        m = scores.shape[1]
+        eye = jnp.eye(m, dtype=scores.dtype)
+        mask = 1.0 - eye
+
+        def one_query(_, inp):
+            s, pos = inp  # (M,), (M,)
+            diff = s[None, :] - s[:, None]  # diff[i, j] = s[j] − s[i]
+            approx = self.rank_approx(diff, pos, general=True) * mask
+            rk = 1.0 + jnp.sum(approx, axis=-1)
+            pos_rk = 1.0 + jnp.sum(approx * pos[None, :], axis=-1)
+            ap = jnp.sum(pos * pos_rk / rk) / jnp.maximum(pos.sum(), 1.0)
+            return None, ap
+
+        _, ap = jax.lax.scan(one_query, None, (scores, target))
+        return ap
+
     def __call__(self, ctx: LossContext, params=None, state=None):
-        ap = self.ap_per_query(ctx.scores, ctx.label_matrix.astype(ctx.scores.dtype))
+        scores = ctx.scores
+        target = ctx.label_matrix.astype(scores.dtype)
+        if scores.shape[0] == scores.shape[1]:
+            ap = self.ap_per_query(scores, target)
+        else:
+            ap = self.ap_per_query_general(scores, target)
         if self.return_type == "AP":
             out = ap
         elif self.return_type == "mAP":
@@ -106,7 +131,7 @@ class SmoothRankAP(LossBase):
 class HeavisideAP(SmoothRankAP):
     """exact (zero-gradient) AP, for testing (smooth_rank_ap.py:163-173)."""
 
-    def rank_approx(self, diff, target):
+    def rank_approx(self, diff, target, general: bool = False):
         return heaviside(diff)
 
 
@@ -115,7 +140,7 @@ class SmoothAP(SmoothRankAP):
         super().__init__(**kw)
         self.tau = tau
 
-    def rank_approx(self, diff, target):
+    def rank_approx(self, diff, target, general: bool = False):
         return tau_sigmoid(diff, self.tau)
 
 
@@ -126,13 +151,18 @@ class SupAP(SmoothRankAP):
         super().__init__(**kw)
         self.tau, self.rho, self.offset, self.delta, self.start = tau, rho, offset, delta, start
 
-    def rank_approx(self, diff, target):
-        # pos-pos comparisons take the heaviside branch: T3[q,i,j] =
-        # rel(i,j) & rel(q,i)  (step_rank's mask algebra,
-        # smooth_rank_ap.py:41-45; rel(i,j) = label-matrix of the label
-        # matrix, which for single-label batches equals the label matrix)
-        rel_ij = create_label_matrix(target) > 0
-        pos3 = rel_ij[None, :, :] & (target[:, :, None] > 0)
+    def rank_approx(self, diff, target, general: bool = False):
+        if general:
+            # per-query path: target is the (M,) positive mask, broadcast
+            # over rows (step_rank's general branch, smooth_rank_ap.py:39-40)
+            pos3 = jnp.broadcast_to(target[None, :] > 0, diff.shape)
+        else:
+            # pos-pos comparisons take the heaviside branch: T3[q,i,j] =
+            # rel(i,j) & rel(q,i)  (step_rank's mask algebra,
+            # smooth_rank_ap.py:41-45; rel(i,j) = label-matrix of the label
+            # matrix, which for single-label batches equals the label matrix)
+            rel_ij = create_label_matrix(target) > 0
+            pos3 = rel_ij[None, :, :] & (target[:, :, None] > 0)
         return step_rank(diff, pos3, self.tau, self.rho, self.offset, self.delta, self.start)
 
 

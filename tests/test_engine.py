@@ -444,3 +444,33 @@ def test_landmark_ap_hand_computed():
     assert abs(ap - expected) < 1e-9
     # perfect retrieval: AP = 1
     assert compute_ap(np.array([0, 1, 2]), 3) == pytest.approx(1.0)
+
+
+def test_xbm_with_score_loss(tiny_setup):
+    """SCORES losses against the (B, M) memory matrix — the path that was
+    broken before the rank-AP general path existed."""
+    dataset, host_t, device_t, model, _ = tiny_setup
+    losses = build_losses([
+        {"name": "CalibrationLoss", "weight": 1.0, "kwargs": {}},
+        {"name": "SupAP", "weight": 1.0, "kwargs": {}},
+    ])
+    cfg = [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}]
+    xbm = XBM(size=64, embedding_dim=16, unique=True, activate_after=0)
+    batch = _make_batch(dataset, host_t, np.arange(8))
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True,
+    )
+    entries = build_optimizers(cfg, variables["params"])
+    loss_tx = optax.adamw(1e-3)
+    state = init_train_state(model, losses, entries, loss_tx, batch,
+                             device_transform=device_t, xbm=xbm)
+    step = jax.jit(build_train_step(
+        model, losses, entries, loss_tx, xbm=xbm, device_transform=device_t,
+        xbm_active=True,
+    ))
+    from irw_tpu.engine.train import _build_hyper
+
+    state, metrics = step(state, batch, _build_hyper(entries, 1, 0, 0, None))
+    assert np.isfinite(float(metrics["total_loss"]))

@@ -263,3 +263,39 @@ def test_xbm_ref_embeddings_path(rng):
     for name in ("CalibrationLoss", "PairLoss"):
         val, _ = get_loss(name)(ctx, None, None)
         assert np.isfinite(float(val))
+
+
+def test_rank_ap_general_path_matches_quick_on_square(rng):
+    """Non-square (memory) path must agree with the quick path when the
+    gallery happens to equal the batch."""
+    ctx = make_ctx(rng)
+    for name in ("HeavisideAP", "SmoothAP", "SupAP"):
+        loss = get_loss(name, return_type="AP")
+        quick = loss.ap_per_query(ctx.scores, ctx.label_matrix.astype(ctx.scores.dtype))
+        general = loss.ap_per_query_general(
+            ctx.scores, ctx.label_matrix.astype(ctx.scores.dtype)
+        )
+        # quick path self-ranks include the diagonal (+target), general path
+        # ranks a memory that also contains self — identical semantics
+        np.testing.assert_allclose(np.asarray(quick), np.asarray(general), atol=1e-5)
+
+
+def test_rank_ap_with_xbm_memory_scores(rng):
+    """(B, M) score matrices (XBM path) run and have gradients."""
+    emb = jnp.asarray(rng.randn(8, 16), jnp.float32)
+    mem = jnp.asarray(rng.randn(40, 16), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 3, 8))
+    mem_labels = jnp.asarray(rng.randint(0, 3, 40))
+    e = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+    m = mem / jnp.linalg.norm(mem, axis=1, keepdims=True)
+    ctx = LossContext(scores=e @ m.T, label_matrix=create_label_matrix(labels, mem_labels))
+    loss = get_loss("SupAP")
+
+    def f(scores):
+        val, _ = loss(dataclasses.replace(ctx, scores=scores), None, None)
+        return val
+
+    val = f(ctx.scores)
+    assert np.isfinite(float(val))
+    g = jax.grad(f)(ctx.scores)
+    assert float(jnp.abs(g).sum()) > 0
