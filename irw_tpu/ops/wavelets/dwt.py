@@ -151,7 +151,7 @@ def idwt2(cA, details, wavelet: str = "haar", mode: Mode = "periodization"):
 def wavedec2(x, wavelet: str = "haar", level: int = 1, mode: Mode = "periodization"):
     """Multi-level 2D DWT (pywt.wavedec2 layout): returns
     ``[cA_n, (cH_n, cV_n, cD_n), ..., (cH_1, cV_1, cD_1)]`` — coarsest
-    approximation first, then detail tuples fine→ -- coarsest first.
+    approximation first, then detail tuples ordered coarsest → finest.
 
     The reference's ``DWTTransform`` (custom_transforms.py:178-182) keeps
     ``coeffs[0]`` (cA) and ``coeffs[1]`` (the coarsest detail tuple).

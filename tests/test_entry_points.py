@@ -1,0 +1,69 @@
+"""Entry-point integration: run.run → offline evaluate → aggregation, all
+on the synthetic dataset in a temp dir (the reference had no such test)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from irw_tpu.config import compose  # noqa: E402
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+@pytest.fixture(scope="module")
+def finished_run(tmp_path_factory):
+    log_dir = tmp_path_factory.mktemp("exp")
+    config = compose(
+        CONFIG_DIR,
+        "default",
+        [
+            "transform=dwt_small",
+            "experience.max_iter=1",
+            "experience.train_eval_freq=1",
+            "experience.step_per_epoch=2",
+            "experience.eval_bs=64",
+            "experience.num_workers=0",
+            "experience.maybe_resume=false",
+            "experience.experiment_name=itest",
+            f"experience.log_dir={log_dir}",
+            "+experience.use_mesh=false",
+        ],
+    )
+    import run as run_module
+
+    metrics = run_module.run(config)
+    return os.path.join(str(log_dir), "itest"), metrics
+
+
+def test_run_produces_metrics_and_checkpoint(finished_run):
+    run_dir, metrics = finished_run
+    assert "test" in metrics and "map_level0" in metrics["test"]
+    assert os.path.exists(os.path.join(run_dir, "weights", "rolling"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+
+
+def test_offline_evaluate_matches_training_eval(finished_run):
+    run_dir, metrics = finished_run
+    import importlib
+
+    evaluate_cli = importlib.import_module("evaluate")
+    offline = evaluate_cli.load_and_evaluate(run_dir, eval_set="test",
+                                             batch_size=64, num_workers=0)
+    assert abs(offline["map_level0"] - metrics["test"]["map_level0"]) < 2e-3
+
+
+def test_aggregate_results_reads_run(finished_run):
+    run_dir, _ = finished_run
+    from studies.aggregate_results import aggregate, collect_runs, read_last_metrics
+
+    last = read_last_metrics(run_dir)
+    assert any(k.startswith("test/") for k in last)
+    runs = collect_runs(os.path.dirname(run_dir), "itest")
+    assert len(runs) == 1
+    summary = aggregate(runs, "test/map_level0")
+    assert len(summary) == 1
