@@ -159,6 +159,8 @@ def main():
                         choices=["resnet18", "resnet50", "resnet101", "dinov2_vits14", "dinov2_vitb14"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
+    parser.add_argument("--scan", action="store_true",
+                        help="emit the scan_blocks ViT layout (stacked depth axis)")
     args = parser.parse_args()
 
     import torch
@@ -173,6 +175,9 @@ def main():
         tree = convert_resnet(sd, sizes, bottleneck=args.kind != "resnet18")
     else:
         tree = convert_dinov2(sd)
+        if args.scan:
+            depth = sum(1 for k in tree["params"] if k.startswith("Block_"))
+            tree["params"] = stack_scanned_blocks(tree["params"], depth)
     with open(args.dst, "wb") as f:
         f.write(msgpack_serialize(tree))
     print(f"wrote {args.dst}")
