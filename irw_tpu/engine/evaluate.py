@@ -31,9 +31,21 @@ def compute_embeddings(
     device_transform,
     batch_size: int = 256,
     num_workers: int = 8,
+    mesh=None,
 ):
     """Embed a whole dataset with the eval-mode forward.  Returns
-    (embeddings [device], labels [numpy])."""
+    (embeddings [device], labels [numpy]).
+
+    With >1 device (or an explicit ``mesh``) the batch axis is sharded over
+    the mesh — the embedding sweep scales across chips (the reference's eval
+    ran the net on one GPU and accumulated on CPU, evaluate.py:25-57)."""
+    if mesh is None and jax.device_count() > 1:
+        from irw_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        mesh = None  # uneven shard — fall back to single-device eval
+
     order = np.arange(len(dataset))
     batches = [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
     loader = EpochLoader(
@@ -41,12 +53,22 @@ def compute_embeddings(
     )
 
     jitted = jax.jit(lambda v, x: apply_fn(v, x))
+    data_sharding = repl = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        variables = jax.device_put(variables, repl)
+
     chunks = []
     for batch in loader:
         images = batch["image"]
         if images.shape[0] < batch_size:  # pad the tail to keep one jit shape
             pad = batch_size - images.shape[0]
             images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+        if data_sharding is not None:
+            images = jax.device_put(images, data_sharding)
         x = device_transform(images) if device_transform else jnp.asarray(images, jnp.float32) / 255.0
         out = jitted(variables, x)
         emb = out[0] if isinstance(out, tuple) else out
