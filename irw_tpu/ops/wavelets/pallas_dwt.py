@@ -197,6 +197,11 @@ def haar_swt2_pallas(x, tile_n: int | None = None, interpret: bool | None = None
     (N, 4, H, W) ordered [cA, cH, cV, cD] (== swt2(x, 'haar', 1))."""
     if interpret is None:
         interpret = _interpret_default()
+    # Mosaic's rotate (pltpu.roll) is 32-bit only — compute in f32 and cast
+    # back for low-precision inputs
+    in_dtype = x.dtype
+    if in_dtype != jnp.float32:
+        x = x.astype(jnp.float32)
     n, h, w = x.shape
     if tile_n is None:
         # VMEM budget: in block + 4-band out block + ~4 temporaries,
@@ -216,4 +221,4 @@ def haar_swt2_pallas(x, tile_n: int | None = None, interpret: bool | None = None
         ),
         interpret=interpret,
     )(x)
-    return out[:n]
+    return out[:n].astype(in_dtype)

@@ -257,6 +257,10 @@ class DeviceTransform:
                 ca, (lh, hl, hh) = coeffs[0], coeffs[1]
                 stack = jnp.stack([ca, lh, hl, hh], axis=1)
                 x = jnp.moveaxis(stack, 2, -1)
+            elif name == "RGBToBGR":
+                # channel swap (reference main/utils RGBToBGR, used by
+                # BGR-pretrained backbones)
+                x = x[..., ::-1]
             elif name == "ResizeSubBands":
                 size = kw.get("size", 224)
                 hw = (size, size) if isinstance(size, int) else tuple(size)
@@ -283,7 +287,14 @@ HOST_OPS = {
     "FixSize",
     "MultiCrop",
 }
-DEVICE_OPS = {"Normalize", "CustomTransform", "SWTTransform", "DWTTransform", "ResizeSubBands"}
+DEVICE_OPS = {
+    "Normalize",
+    "CustomTransform",
+    "SWTTransform",
+    "DWTTransform",
+    "ResizeSubBands",
+    "RGBToBGR",
+}
 SKIP_OPS = {"ToTensor"}  # implicit in the device stage
 
 
