@@ -22,8 +22,9 @@ reference's GradCache two-pass scheme (:151-293) but expressed as
 rematerialisation, so replay-RNG bookkeeping (:12-31) is unnecessary.
 
 Hyper inputs (host-computed, passed as arrays → no recompilation):
-``lrs`` per optimizer entry/group, ``loss_lr``, ``warmup_active``,
-``xbm_active``.
+``lrs`` per optimizer entry/group and the per-entry warm-up ``active``
+flags.  XBM activation is a build-time flag (the loop rebuilds the step
+once at the activation epoch).
 """
 
 from __future__ import annotations
