@@ -89,3 +89,90 @@ def test_pallas_kernels_match_reference(reference_modules, rng):
         np.testing.assert_allclose(np.asarray(out[:, 1]), ref_lh.numpy()[:, 0], atol=1e-5)
         np.testing.assert_allclose(np.asarray(out[:, 2]), ref_hl.numpy()[:, 0], atol=1e-5)
         np.testing.assert_allclose(np.asarray(out[:, 3]), ref_hh.numpy()[:, 0], atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def reference_rank_ap():
+    torch = pytest.importorskip("torch")
+    # the reference's utils chain imports omegaconf (absent) — stub it
+    om = types.ModuleType("omegaconf")
+    lc = types.ModuleType("omegaconf.listconfig")
+
+    class ListConfig(list):
+        pass
+
+    lc.ListConfig = ListConfig
+    om.listconfig = lc
+    sys.modules.setdefault("omegaconf", om)
+    sys.modules.setdefault("omegaconf.listconfig", lc)
+    sys.path.insert(0, "/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "ref_srap", "/root/reference/main/losses/smooth_rank_ap.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import main.utils as ref_lib
+
+    return mod, ref_lib, torch
+
+
+@pytest.mark.parametrize("cls_name,kwargs", [
+    ("HeavisideAP", {}),
+    ("SmoothAP", {"tau": 0.01}),
+    ("SupAP", {"tau": 0.01, "rho": 100.0, "delta": 0.05}),
+])
+def test_rank_ap_matches_reference(reference_rank_ap, cls_name, kwargs, rng):
+    mod, ref_lib, torch = reference_rank_ap
+    import jax.numpy as jnp
+
+    from irw_tpu.losses import get_loss
+    from irw_tpu.losses.base import LossContext
+    from irw_tpu.utils.label_matrix import create_label_matrix
+
+    emb = rng.randn(8, 16).astype(np.float32)
+    labels = rng.randint(0, 3, 8)
+    e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    scores = e @ e.T
+
+    ref_loss = getattr(mod, cls_name)(return_type="mAP", **kwargs)
+    ref_target = ref_lib.create_label_matrix(torch.from_numpy(labels)).float()
+    ref_val = float(ref_loss(torch.from_numpy(scores.copy()), ref_target))
+
+    ours = get_loss(cls_name, return_type="mAP", **kwargs)
+    ctx = LossContext(
+        scores=jnp.asarray(scores),
+        label_matrix=create_label_matrix(jnp.asarray(labels)),
+    )
+    our_val = float(ours(ctx, None, None)[0])
+    assert abs(ref_val - our_val) < 1e-5
+
+
+def test_rank_ap_general_matches_reference(reference_rank_ap, rng):
+    """Non-square (memory) scores: our scan-based general path vs the
+    reference's general_forward per-query loop."""
+    mod, ref_lib, torch = reference_rank_ap
+    import jax.numpy as jnp
+
+    from irw_tpu.losses import get_loss
+    from irw_tpu.losses.base import LossContext
+    from irw_tpu.utils.label_matrix import create_label_matrix
+
+    emb = rng.randn(6, 16).astype(np.float32)
+    mem = rng.randn(20, 16).astype(np.float32)
+    labels = rng.randint(0, 3, 6)
+    mem_labels = rng.randint(0, 3, 20)
+    e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    m = mem / np.linalg.norm(mem, axis=1, keepdims=True)
+    scores = e @ m.T
+    rel = (labels[:, None] == mem_labels[None, :]).astype(np.float32)
+
+    ref_loss = mod.SmoothAP(tau=0.01, return_type="mAP")
+    ref_val = float(ref_loss(torch.from_numpy(scores.copy()), torch.from_numpy(rel.copy())))
+
+    ours = get_loss("SmoothAP", tau=0.01, return_type="mAP")
+    ctx = LossContext(
+        scores=jnp.asarray(scores),
+        label_matrix=create_label_matrix(jnp.asarray(labels), jnp.asarray(mem_labels)),
+    )
+    our_val = float(ours(ctx, None, None)[0])
+    assert abs(ref_val - our_val) < 1e-5
