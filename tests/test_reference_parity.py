@@ -176,3 +176,52 @@ def test_rank_ap_general_matches_reference(reference_rank_ap, rng):
     )
     our_val = float(ours(ctx, None, None)[0])
     assert abs(ref_val - our_val) < 1e-5
+
+
+def _load_ref(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_hashnet_matches_reference(rng):
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from irw_tpu.losses import get_loss
+    from irw_tpu.losses.base import LossContext
+
+    ref_mod = _load_ref("ref_hashnet", "/root/reference/main/losses/hashnet_loss.py")
+    u = rng.randn(8, 16).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[rng.randint(0, 3, 8)]
+    ref = ref_mod.HashNetAdapter(embedding_size=16, alpha=0.1)
+    ref_val = float(ref(torch.from_numpy(u.copy()), torch.from_numpy(y.copy())))
+    ours = get_loss("HashNetLoss", embedding_size=16, alpha=0.1)
+    our_val = float(
+        ours(LossContext(embeddings=jnp.asarray(u), labels=jnp.asarray(y)),
+             {}, ours.init_state())[0]
+    )
+    assert abs(ref_val - our_val) < 1e-4
+
+
+def test_csq_matches_reference(rng):
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("scipy")
+    import jax.numpy as jnp
+
+    from irw_tpu.losses import get_loss
+    from irw_tpu.losses.base import LossContext
+
+    ref_mod = _load_ref("ref_csq", "/root/reference/main/losses/csq_loss.py")
+    u = rng.randn(8, 16).astype(np.float32)
+    y = np.eye(3, dtype=np.float32)[rng.randint(0, 3, 8)]
+    ref = ref_mod.CSQAdapter(embedding_size=16, num_classes=3, lambda_param=1e-4,
+                             is_multi_label=False)
+    ref_val = float(ref(torch.from_numpy(u.copy()), torch.from_numpy(y.copy())))
+    ours = get_loss("CSQLoss", embedding_size=16, num_classes=3, lambda_param=1e-4,
+                    is_multi_label=False)
+    our_val = float(
+        ours(LossContext(embeddings=jnp.asarray(u), labels=jnp.asarray(y)), {}, {})[0]
+    )
+    assert abs(ref_val - our_val) < 1e-4
