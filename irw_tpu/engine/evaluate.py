@@ -144,6 +144,20 @@ def evaluate(
             apply_fn, variables, datasets["gallery"], host_transform, device_transform,
             batch_size, num_workers,
         )
+        if "distractor" in datasets:
+            # distractor augmentation (evaluate.py:101-135): extra gallery
+            # items with labels that never match any query
+            d_emb, _ = compute_embeddings(
+                apply_fn, variables, datasets["distractor"], host_transform,
+                device_transform, batch_size, num_workers,
+            )
+            g_emb = jnp.concatenate([g_emb, d_emb], axis=0)
+            gl = np.asarray(g_labels)
+            if gl.ndim == 1:
+                d_labels = np.full(d_emb.shape[0], -424242, gl.dtype)
+            else:
+                d_labels = np.zeros((d_emb.shape[0], gl.shape[1]), gl.dtype)
+            g_labels = np.concatenate([gl, d_labels], axis=0)
         # revisited Oxford/Paris: the query dataset carries per-query gnd →
         # medium/hard junk-corrected mAP (landmark_evaluation.py protocol)
         gnd = getattr(datasets["query"], "gnd", None)

@@ -229,7 +229,10 @@ def train(
             jax.profiler.start_trace(os.path.join(log_dir, "profile"))
 
         meters = DictAverage()
+        data_time = step_time = 0.0  # phase timing (reference train.py:199-208)
+        t_mark = time.time()
         for batch in loader:
+            data_time += time.time() - t_mark
             if instrumentor is not None:
                 instrumentor.snapshot_batch(batch)
             global_step = int(jax.device_get(state.step))
@@ -239,8 +242,11 @@ def train(
 
                 batch = shard_train_batch(batch, mesh)
                 hyper = jax.device_put(hyper, repl)
+            t_step = time.time()
             state, metrics = step_fn(state, batch, hyper)
             meters.update({k: float(v) for k, v in jax.device_get(metrics).items()})
+            step_time += time.time() - t_step
+            t_mark = time.time()
 
         if profiling:
             jax.block_until_ready(state.params)
@@ -250,12 +256,14 @@ def train(
         epoch_metrics = meters.avg
         lr_now = optimizer_entries[0].group_lrs(epoch, int(jax.device_get(state.step)))
         epoch_metrics["lr"] = next(iter(lr_now.values()))
+        epoch_metrics["data_seconds"] = data_time
+        epoch_metrics["step_seconds"] = step_time
         logger.log(epoch, epoch_metrics, prefix="train/")
         LOGGER.info(
             f"epoch {epoch}/{max_iter} "
             f"loss={epoch_metrics.get('total_loss', float('nan')):.4f} "
             f"batch_map={epoch_metrics.get('batch_map', 0.0):.4f} "
-            f"[{format_time(time.time() - t0)}]"
+            f"[{format_time(time.time() - t0)} | data {data_time:.1f}s step {step_time:.1f}s]"
         )
 
         if instrumentor is not None:

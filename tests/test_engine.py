@@ -474,3 +474,31 @@ def test_xbm_with_score_loss(tiny_setup):
 
     state, metrics = step(state, batch, _build_hyper(entries, 1, 0, 0, None))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_evaluate_with_distractors(tiny_setup):
+    """Distractor gallery augmentation: extra never-relevant items can only
+    lower the metrics (evaluate.py:101-135)."""
+    dataset, host_t, device_t, model, _ = tiny_setup
+    from irw_tpu.engine.evaluate import evaluate
+
+    query = SyntheticDataset(num_samples=8, num_classes=4, image_size=32, seed=21)
+    gallery = SyntheticDataset(num_samples=24, num_classes=4, image_size=32, seed=22)
+    distractor = SyntheticDataset(num_samples=16, num_classes=4, image_size=32, seed=23)
+    batch = _make_batch(dataset, host_t, np.arange(8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, device_t(batch["image"]), train=True,
+    )
+
+    def apply_eval(v, inp):
+        return model.apply(v, inp, train=False)
+
+    plain = evaluate(apply_eval, variables, {"query": query, "gallery": gallery},
+                     host_t, device_t, batch_size=8, num_workers=0,
+                     distance_metric="cosine")
+    with_d = evaluate(apply_eval, variables,
+                      {"query": query, "gallery": gallery, "distractor": distractor},
+                      host_t, device_t, batch_size=8, num_workers=0,
+                      distance_metric="cosine")
+    assert with_d["map_level0"] <= plain["map_level0"] + 1e-6
