@@ -54,6 +54,16 @@ class Getter:
                 test = get_dataset(name, mode="test", **kwargs)
             except Exception:
                 test = train_ds
+        # optional distractor gallery augmentation (evaluate.py:101-135)
+        distractor_cfg = dataset_config.get("distractor")
+        if distractor_cfg:
+            if not isinstance(test, dict):
+                test = {"query": test, "gallery": test}
+            test["distractor"] = get_dataset(
+                distractor_cfg["name"],
+                mode=distractor_cfg.get("mode", "gallery"),
+                **dict(distractor_cfg.get("kwargs") or {}),
+            )
         return train_ds, {"test": test}
 
     def get_sampler(self, dataset, sampler_config):
