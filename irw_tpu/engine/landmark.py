@@ -77,3 +77,29 @@ def landmark_evaluation(query_emb, gallery_emb, gnd, protocols=("medium", "hard"
             aps.append(_ap_for_query(orders[qi], positives, junk_set))
         out[f"map_{protocol}"] = float(np.mean(aps)) if aps else 0.0
     return out
+
+
+def evaluate_cities(apply_fn, variables, data_dir, cities=("roxford5k", "rparis6k"),
+                    host_transform=None, device_transform=None, batch_size=128,
+                    num_workers=8):
+    """Loop the revisited protocol over cities (the reference's
+    landmark_evaluation driver, landmark_evaluation.py:192-211): embeds each
+    city's queries + gallery and reports per-city medium/hard mAP."""
+    from irw_tpu.data.landmarks import RevisitedDataset
+    from irw_tpu.engine.evaluate import compute_embeddings
+
+    results = {}
+    for city in cities:
+        query_ds = RevisitedDataset(data_dir, city=city, mode="query")
+        gallery_ds = RevisitedDataset(data_dir, city=city, mode="gallery")
+        q_emb, _ = compute_embeddings(apply_fn, variables, query_ds,
+                                      host_transform, device_transform,
+                                      batch_size, num_workers)
+        g_emb, _ = compute_embeddings(apply_fn, variables, gallery_ds,
+                                      host_transform, device_transform,
+                                      batch_size, num_workers)
+        city_metrics = landmark_evaluation(np.asarray(q_emb), np.asarray(g_emb),
+                                           query_ds.gnd)
+        for key, value in city_metrics.items():
+            results[f"{city}_{key}"] = value
+    return results
