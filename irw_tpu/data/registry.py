@@ -16,10 +16,11 @@ from irw_tpu.data.datasets_image import (
 )
 from irw_tpu.data.datasets_multilabel import COCOHashing, MIRFlickrHashing, VOC2012Hashing
 from irw_tpu.data.landmarks import RevisitedDataset, SfM120kDataset
-from irw_tpu.data.synthetic import SyntheticDataset
+from irw_tpu.data.synthetic import SyntheticDataset, SyntheticHashingDataset
 
 DATASET_REGISTRY = {
     "SyntheticDataset": SyntheticDataset,
+    "SyntheticHashingDataset": SyntheticHashingDataset,
     "Cub200Dataset": Cub200Dataset,
     "Cub200Indomain": Cub200Indomain,
     "SOPDataset": SOPDataset,
@@ -41,6 +42,7 @@ DATASET_REGISTRY = {
 # datasets whose eval side is an explicit query/gallery pair
 # (getter.py:169-233 builds these dicts per family)
 QUERY_GALLERY_DATASETS = {
+    "SyntheticHashingDataset",
     "InShopDataset",
     "VOC2012Hashing",
     "MIRFlickrHashing",

@@ -64,3 +64,22 @@ class SyntheticDataset(BaseDataset):
         from PIL import Image
 
         return Image.fromarray(self.images[index])
+
+
+class SyntheticHashingDataset(SyntheticDataset):
+    """Query/gallery protocol variant: disjoint deterministic splits per
+    mode from one class distribution — lets the full hashing eval protocol
+    (query vs database) run without any data on disk."""
+
+    _MODE_SEEDS = {"train": 0, "query": 1, "test": 1, "gallery": 2, "database": 2}
+
+    def __init__(self, num_samples: int = 256, mode: str = "train", seed: int = 0, **kw):
+        sizes = {"train": num_samples, "query": max(num_samples // 4, 8)}
+        n = sizes.get("train" if mode == "train" else ("query" if mode in ("query", "test") else "gallery"),
+                      num_samples)
+        super().__init__(
+            num_samples=n if mode in ("train", "query", "test") else num_samples,
+            seed=seed * 10 + self._MODE_SEEDS.get(mode, 0),
+            mode=mode,
+            **kw,
+        )

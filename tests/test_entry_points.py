@@ -67,3 +67,34 @@ def test_aggregate_results_reads_run(finished_run):
     assert len(runs) == 1
     summary = aggregate(runs, "test/map_level0")
     assert len(summary) == 1
+
+
+def test_plot_exemples_renders(finished_run, tmp_path):
+    """Qualitative retrieval panels CLI (plot_exemples.py equivalent)."""
+    run_dir, _ = finished_run
+    import importlib
+
+    pe = importlib.import_module("plot_exemples")
+    rows = pe.retrieval_rows(run_dir, num_queries=3, topk=4, thumb=24)
+    assert len(rows) == 3 and len(rows[0]) == 5  # query + topk
+    out_path = os.path.join(str(tmp_path), "panels.png")
+    pe.render([rows], out_path, thumb=24)
+    assert os.path.exists(out_path)
+    from PIL import Image
+
+    img = Image.open(out_path)
+    assert img.size[0] > 0 and img.size[1] > 0
+
+
+def test_synthetic_hashing_query_gallery_protocol():
+    from irw_tpu.getter import Getter
+
+    train, evals = Getter().get_dataset(
+        {"name": "SyntheticHashingDataset",
+         "kwargs": {"num_samples": 64, "image_size": 32}}
+    )
+    test = evals["test"]
+    assert set(test) == {"query", "gallery"}
+    assert len(test["query"]) < len(test["gallery"])
+    # query and gallery are disjoint draws
+    assert test["query"].paths[0] != test["gallery"].paths[0]
