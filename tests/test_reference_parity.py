@@ -225,3 +225,46 @@ def test_csq_matches_reference(rng):
         ours(LossContext(embeddings=jnp.asarray(u), labels=jnp.asarray(y)), {}, {})[0]
     )
     assert abs(ref_val - our_val) < 1e-4
+
+
+def test_xbm_behavior_matches_reference(rng):
+    """Our index-keyed on-device XBM returns the same occupied memory
+    contents as the reference's path-keyed dict (memory.py:11-60), for both
+    unique and ring modes."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from irw_tpu.engine.xbm import XBM as OurXBM
+
+    mod = _load_ref("ref_xbm", "/root/reference/main/engine/memory.py")
+
+    # unique mode: repeated keys overwrite
+    ref = mod.XBM(size=8, unique=True)
+    ours = OurXBM(size=8, embedding_dim=4, unique=True)
+    state = ours.init()
+    for step in range(3):
+        feats = rng.randn(3, 4).astype(np.float32)
+        labels = np.array([step, step + 1, step + 2])
+        idx = np.array([0, 1, 2]) if step < 2 else np.array([3, 4, 5])
+        keys = [f"k{i}" for i in idx]
+        ref_f, ref_l = ref(torch.from_numpy(feats.copy()), torch.from_numpy(labels.copy()), keys)
+        state = ours.update(state, jnp.asarray(feats), jnp.asarray(labels), jnp.asarray(idx))
+    mem_f, mem_l, valid = ours.contents(state)
+    ours_set = {tuple(np.round(r, 5)) for r, v in zip(np.asarray(mem_f), np.asarray(valid)) if v}
+    ref_set = {tuple(np.round(r, 5)) for r in ref_f.numpy()}
+    assert ours_set == ref_set
+    assert sorted(np.asarray(mem_l)[np.asarray(valid)].tolist()) == sorted(ref_l.numpy().tolist())
+
+    # ring mode: bounded FIFO — same surviving elements after overflow
+    ref2 = mod.XBM(size=4, unique=False)
+    ours2 = OurXBM(size=4, embedding_dim=2, unique=False)
+    state2 = ours2.init()
+    for step in range(3):
+        feats = np.full((2, 2), step, np.float32)
+        labels = np.array([step, step])
+        ref_f2, ref_l2 = ref2(torch.from_numpy(feats.copy()), torch.from_numpy(labels.copy()))
+        state2 = ours2.update(state2, jnp.asarray(feats), jnp.asarray(labels), jnp.asarray([0, 1]))
+    mem_f2, mem_l2, valid2 = ours2.contents(state2)
+    ours_vals = sorted(np.asarray(mem_f2)[np.asarray(valid2)][:, 0].tolist())
+    ref_vals = sorted(ref_f2.numpy()[:, 0].tolist())
+    assert ours_vals == ref_vals
