@@ -106,12 +106,17 @@ def reference_rank_ap():
     sys.modules.setdefault("omegaconf", om)
     sys.modules.setdefault("omegaconf.listconfig", lc)
     sys.path.insert(0, "/root/reference")
-    spec = importlib.util.spec_from_file_location(
-        "ref_srap", "/root/reference/main/losses/smooth_rank_ap.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    import main.utils as ref_lib
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_srap", "/root/reference/main/losses/smooth_rank_ap.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        import main.utils as ref_lib
+    finally:
+        # don't let the reference tree shadow repo-root modules for later
+        # test files (its evaluate.py/plot_exemples.py import faiss etc.)
+        sys.path.remove("/root/reference")
 
     return mod, ref_lib, torch
 
