@@ -86,17 +86,39 @@ class Getter:
         )
 
     def get_loss_optimizer(self, loss_config):
-        """One optimizer over all loss-internal params (the reference gave
-        each loss its own AdamW, hash_loss.py:29-31; a single AdamW over the
-        disjoint leaves is equivalent up to shared hyperparams — per-loss
-        kwargs use the first configured loss-optimizer entry)."""
-        for entry in loss_config or []:
-            opt_cfg = (entry.get("kwargs") or {}).get("optimizer")
-            if opt_cfg:
-                kw = dict(opt_cfg.get("kwargs") or {})
-                lr = kw.pop("lr", 1e-4)
-                return optax.adamw(lr, **{k: v for k, v in kw.items() if k == "weight_decay"})
-        return optax.adamw(1e-4, weight_decay=1e-4)
+        """Per-loss internal optimizers (the reference gave each proxy loss
+        its own AdamW with its own hyperparams, hash_loss.py:29-31): one
+        ``optax.multi_transform`` over the loss-params tree, keyed by loss
+        index, honoring each entry's nested ``kwargs.optimizer`` config."""
+
+        def make_tx(opt_cfg):
+            kw = dict((opt_cfg or {}).get("kwargs") or {})
+            lr = kw.pop("lr", 1e-4)
+            wd = kw.pop("weight_decay", 1e-4)
+            name = (opt_cfg or {}).get("name", "AdamW")
+            if name == "Adam":
+                return optax.adam(lr)
+            if name == "SGD":
+                return optax.sgd(lr, momentum=kw.get("momentum"))
+            return optax.adamw(lr, weight_decay=wd)
+
+        entries = list(loss_config or [])
+        transforms = {
+            str(idx): make_tx((entry.get("kwargs") or {}).get("optimizer"))
+            for idx, entry in enumerate(entries)
+        }
+        if not transforms:
+            return optax.adamw(1e-4, weight_decay=1e-4)
+
+        def label_tree(loss_params):
+            # loss_params: {loss idx -> param subtree}; label every leaf
+            # under idx with idx
+            return {
+                key: jax.tree_util.tree_map(lambda _: key, sub)
+                for key, sub in loss_params.items()
+            }
+
+        return optax.multi_transform(transforms, label_tree)
 
     def get_memory(self, memory_config, embedding_dim: int, label_shape=()):
         if not memory_config:

@@ -502,3 +502,33 @@ def test_evaluate_with_distractors(tiny_setup):
                       host_t, device_t, batch_size=8, num_workers=0,
                       distance_metric="cosine")
     assert with_d["map_level0"] <= plain["map_level0"] + 1e-6
+
+
+def test_per_loss_optimizer_hyperparams():
+    """Each loss's nested optimizer config gets its own transform
+    (hash_loss.yaml's per-loss optimizer, hash_loss.py:29-31)."""
+    import optax
+
+    from irw_tpu.getter import Getter
+
+    cfg = [
+        {"name": "HashLoss", "weight": 1.0,
+         "kwargs": {"num_classes": 4, "embedding_size": 8,
+                    "optimizer": {"name": "AdamW", "kwargs": {"lr": 1.0}}}},
+        {"name": "ArcFaceLoss", "weight": 1.0,
+         "kwargs": {"num_classes": 4, "embedding_size": 8,
+                    "optimizer": {"name": "AdamW", "kwargs": {"lr": 1e-6}}}},
+    ]
+    from irw_tpu.losses import build_losses
+
+    losses = build_losses(cfg)
+    tx = Getter().get_loss_optimizer(cfg)
+    params = {
+        str(i): loss.init_params(jax.random.PRNGKey(i)) for i, (loss, _) in enumerate(losses)
+    }
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    big = float(jnp.abs(updates["0"]["proxies"]).mean())
+    small = float(jnp.abs(updates["1"]["weights"]).mean())
+    assert big > 1e-2 and small < 1e-4  # lr 1.0 vs 1e-6
