@@ -9,6 +9,12 @@ explicit, threaded state), so it is replaced by key-splitting helpers.
 from irw_tpu.utils.logger import LOGGER
 from irw_tpu.utils.meters import AverageMeter, DictAverage, MovingAverage
 from irw_tpu.utils.label_matrix import create_label_matrix
+from irw_tpu.utils.freezing import (
+    combine,
+    freeze_backbone,
+    freeze_batch_norm_params,
+    freeze_pos_embedding,
+)
 from irw_tpu.utils.misc import (
     count_parameters,
     expand_path,
@@ -23,6 +29,10 @@ __all__ = [
     "DictAverage",
     "MovingAverage",
     "create_label_matrix",
+    "freeze_pos_embedding",
+    "freeze_batch_norm_params",
+    "freeze_backbone",
+    "combine",
     "count_parameters",
     "expand_path",
     "format_time",

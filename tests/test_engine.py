@@ -532,3 +532,25 @@ def test_per_loss_optimizer_hyperparams():
     big = float(jnp.abs(updates["0"]["proxies"]).mean())
     small = float(jnp.abs(updates["1"]["weights"]).mean())
     assert big > 1e-2 and small < 1e-4  # lr 1.0 vs 1e-6
+
+
+def test_freeze_helpers_build_optimizer_masks():
+    from irw_tpu.engine.optimizers import build_optimizers
+    from irw_tpu.utils import combine, freeze_pos_embedding
+
+    params = {"pos_embed": jnp.ones((1, 5, 8)), "cls_token": jnp.ones((1, 1, 8)),
+              "head": {"kernel": jnp.ones((8, 4))}}
+    frozen = combine(freeze_pos_embedding())
+    entries = build_optimizers(
+        [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-2}}],
+        params, frozen_collections=frozen,
+    )
+    tx = entries[0].tx
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    from irw_tpu.engine.optimizers import set_group_lrs
+
+    state = set_group_lrs(state, entries[0].group_lrs(1, 0))
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["pos_embed"]).sum()) == 0.0  # frozen
+    assert float(jnp.abs(updates["head"]["kernel"]).sum()) > 0.0
