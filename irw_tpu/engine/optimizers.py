@@ -174,10 +174,19 @@ def _base_tx(name: str, kwargs: dict):
         betas = kwargs.pop("betas", (0.9, 0.999))
         eps = kwargs.pop("eps", 1e-8)
 
-        def factory(learning_rate):
-            return optax.adamw(
-                learning_rate, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd
-            )
+        if name == "Adam":
+            # torch Adam couples L2 decay into the gradient (before the
+            # moment updates) — NOT adamw's decoupled decay
+            def factory(learning_rate):
+                return optax.chain(
+                    optax.add_decayed_weights(wd),
+                    optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps),
+                )
+        else:
+            def factory(learning_rate):
+                return optax.adamw(
+                    learning_rate, b1=betas[0], b2=betas[1], eps=eps, weight_decay=wd
+                )
 
     elif name == "SGD":
         momentum = kwargs.pop("momentum", 0.0)

@@ -195,6 +195,9 @@ def train(
     best_score = -float("inf")
     metrics_by_split: dict[str, dict] = {}
     start_epoch = int(jax.device_get(state.epoch))
+    # host-side mirror of state.step: fetching it from the device every
+    # batch would block on the previous step and serialize async dispatch
+    global_step = int(jax.device_get(state.step))
 
     for epoch in range(start_epoch + 1, max_iter + 1):
         t0 = time.time()
@@ -235,8 +238,8 @@ def train(
             data_time += time.time() - t_mark
             if instrumentor is not None:
                 instrumentor.snapshot_batch(batch)
-            global_step = int(jax.device_get(state.step))
             hyper = _build_hyper(optimizer_entries, epoch, global_step, warm_up, warm_up_key)
+            global_step += 1
             if mesh is not None:
                 from irw_tpu.parallel import shard_train_batch
 
@@ -254,7 +257,7 @@ def train(
             LOGGER.info(f"profiler trace written to {os.path.join(log_dir, 'profile')}")
 
         epoch_metrics = meters.avg
-        lr_now = optimizer_entries[0].group_lrs(epoch, int(jax.device_get(state.step)))
+        lr_now = optimizer_entries[0].group_lrs(epoch, global_step)
         epoch_metrics["lr"] = next(iter(lr_now.values()))
         epoch_metrics["data_seconds"] = data_time
         epoch_metrics["step_seconds"] = step_time

@@ -144,11 +144,13 @@ def build_train_step(
         is_branches = isinstance(output, (list, tuple))
         emb = None if is_branches else output
 
-        ref_emb = ref_labels = None
+        ref_emb = ref_labels = mem_valid = None
         if use_xbm and emb is not None:
             mem_emb, mem_labels, mem_valid = xbm.contents(xbm_state)
             mem_emb = jax.lax.stop_gradient(mem_emb)
-            # invalid slots: zero embedding + inert label
+            # invalid slots: zero embedding + inert label; SCORES losses get
+            # the validity mask applied in score space (far-negative scores)
+            # so empty slots don't act as mid-ranked negatives
             ref_emb = mem_emb * mem_valid[:, None]
             if mem_labels.ndim == 1:
                 ref_labels = jnp.where(mem_valid, mem_labels, -1)
@@ -159,8 +161,13 @@ def build_train_step(
         total = jnp.float32(0.0)
         new_states = {}
         parts = {}
+        # individual loss terms with 'adaptative'-mode pre-scales (memory
+        # terms keep their xbm weight even under adaptive re-weighting,
+        # base_update.py:109-112)
+        vec_terms = []
         for idx, (loss, weight) in enumerate(losses):
             key = str(idx)
+            # --- batch term (always; base_update.py:83-94) ---
             if loss.kind == LossKind.BRANCHES:
                 ctx = dataclasses.replace(ctx_base, branches=list(output))
             elif loss.kind == LossKind.LOGITS:
@@ -168,27 +175,16 @@ def build_train_step(
                 ctx = dataclasses.replace(ctx_base, embeddings=logits)
             elif loss.kind == LossKind.SCORES:
                 e = _l2n(emb)
-                if ref_emb is not None:
-                    # score matrix vs the memory (base_update.py:88-97)
-                    ctx = dataclasses.replace(
-                        ctx_base,
-                        scores=e @ _l2n(ref_emb).T,
-                        label_matrix=create_label_matrix(labels, ref_labels),
-                        embeddings=emb,
-                    )
-                else:
-                    ctx = dataclasses.replace(
-                        ctx_base,
-                        scores=e @ e.T,
-                        label_matrix=create_label_matrix(labels),
-                        embeddings=emb,
-                    )
+                ctx = dataclasses.replace(
+                    ctx_base,
+                    scores=e @ e.T,
+                    label_matrix=create_label_matrix(labels),
+                    embeddings=emb,
+                )
             else:  # EMBEDDINGS
                 ctx = dataclasses.replace(
                     ctx_base,
                     embeddings=emb if emb is not None else output[0],
-                    ref_embeddings=ref_emb,
-                    ref_labels=ref_labels,
                 )
             value, new_state = loss(ctx, loss_params.get(key), loss_states.get(key))
             value = jnp.asarray(value)
@@ -196,12 +192,43 @@ def build_train_step(
                 value = value.mean()
             total = total + weight * value
             parts[f"loss_{idx}_{type(loss).__name__}"] = value
+            vec_terms.append(value)
             new_states[key] = new_state
+
+            # --- memory term (base_update.py:88-97, 106-113): separate loss
+            # vs the XBM contents, scaled by weight * memory.weight ---
+            if ref_emb is not None and loss.kind in (LossKind.SCORES,
+                                                     LossKind.EMBEDDINGS):
+                if loss.kind == LossKind.SCORES:
+                    mem_scores = _l2n(emb) @ _l2n(ref_emb).T
+                    # push invalid slots out of ranking range (cosine ∈ [-1,1])
+                    mem_scores = jnp.where(mem_valid[None, :], mem_scores, -4.0)
+                    mctx = dataclasses.replace(
+                        ctx_base,
+                        scores=mem_scores,
+                        label_matrix=create_label_matrix(labels, ref_labels),
+                        embeddings=emb,
+                    )
+                else:
+                    mctx = dataclasses.replace(
+                        ctx_base,
+                        embeddings=emb,
+                        ref_embeddings=ref_emb,
+                        ref_labels=ref_labels,
+                    )
+                mem_value, _ = loss(mctx, loss_params.get(key), loss_states.get(key))
+                mem_value = jnp.asarray(mem_value)
+                if mem_value.ndim > 0:
+                    mem_value = mem_value.mean()
+                total = total + weight * xbm.weight * mem_value
+                parts[f"loss_{idx}_memory_{type(loss).__name__}"] = mem_value
+                vec_terms.append(xbm.weight * mem_value)
 
         ortho = aux.get("ortho_loss", jnp.float32(0.0))
         total = total + ortho
         parts["ortho_loss"] = ortho
-        return total, (parts, new_states)
+        vec = jnp.stack(vec_terms + [ortho])
+        return total, (parts, new_states, vec)
 
     def step(state: TrainState, batch: dict, hyper: dict):
         rng, step_rng = jax.random.split(state.rng)
@@ -227,13 +254,13 @@ def build_train_step(
                 xbm_state = xbm.update(
                     state.xbm, jax.lax.stop_gradient(emb_for_mem), labels, indices
                 )
-            total, (parts, new_loss_states) = compute_losses(
+            total, (parts, new_loss_states, vec) = compute_losses(
                 output, aux, labels, xbm_state, loss_params, state.loss_states
             )
-            return total, (parts, new_loss_states, new_bs, xbm_state, emb_for_mem)
+            return total, (parts, new_loss_states, new_bs, xbm_state, emb_for_mem, vec)
 
         if not adaptive_weights:
-            (total, (parts, new_loss_states, new_bs, new_xbm, emb)), grads = (
+            (total, (parts, new_loss_states, new_bs, new_xbm, emb, _vec)), grads = (
                 jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                     state.params, state.loss_params
                 )
@@ -244,16 +271,13 @@ def build_train_step(
             # gradients via one forward + N pullbacks; each loss is scaled
             # by mean(head-grad-norms)/its own head-grad-norm, and the final
             # gradient is the weighted sum of the per-loss gradients.
+            # The per-term vector comes pre-scaled from compute_losses
+            # (memory terms carry their xbm weight, base_update.py:109-112).
             def loss_vec_fn(params, loss_params):
                 total_unused, aux_out = loss_fn(params, loss_params)
-                parts = aux_out[0]
-                vec = jnp.stack(
-                    [v for k, v in parts.items() if k.startswith("loss_")]
-                    + [parts["ortho_loss"]]
-                )
-                return vec, aux_out
+                return aux_out[5], aux_out
 
-            vec, vjp_fn, (parts, new_loss_states, new_bs, new_xbm, emb) = jax.vjp(
+            vec, vjp_fn, (parts, new_loss_states, new_bs, new_xbm, emb, _vec) = jax.vjp(
                 loss_vec_fn, state.params, state.loss_params, has_aux=True
             )
             n_vec = vec.shape[0]

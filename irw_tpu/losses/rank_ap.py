@@ -158,11 +158,13 @@ class SupAP(SmoothRankAP):
             pos3 = jnp.broadcast_to(target[None, :] > 0, diff.shape)
         else:
             # pos-pos comparisons take the heaviside branch: T3[q,i,j] =
-            # rel(i,j) & rel(q,i)  (step_rank's mask algebra,
-            # smooth_rank_ap.py:41-45; rel(i,j) = label-matrix of the label
-            # matrix, which for single-label batches equals the label matrix)
+            # rel(i,j) & target[q,j]  (step_rank's mask algebra,
+            # smooth_rank_ap.py:41-45: create_label_matrix(target) broadcast
+            # against target.unsqueeze(1); rel(i,j) = label-matrix of the
+            # label matrix, which for single-label batches equals the label
+            # matrix — but the two differ for multilabel VOC/COCO batches)
             rel_ij = create_label_matrix(target) > 0
-            pos3 = rel_ij[None, :, :] & (target[:, :, None] > 0)
+            pos3 = rel_ij[None, :, :] & (target[:, None, :] > 0)
         return step_rank(diff, pos3, self.tau, self.rho, self.offset, self.delta, self.start)
 
 

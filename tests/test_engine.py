@@ -219,10 +219,17 @@ def test_train_step_warmup_gating(tiny_setup):
 
 
 def test_xbm_in_step(tiny_setup):
+    """XBM-active step computes BOTH the batch-vs-batch and batch-vs-memory
+    loss terms, the memory one scaled by memory.weight
+    (base_update.py:81-113)."""
     dataset, host_t, device_t, model, _ = tiny_setup
-    losses = build_losses([{"name": "CalibrationLoss", "weight": 1.0, "kwargs": {}}])
+    losses = build_losses([
+        {"name": "CalibrationLoss", "weight": 1.0, "kwargs": {}},
+        {"name": "SmoothAP", "weight": 2.0, "kwargs": {"tau": 0.01}},
+    ])
     cfg = [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}]
-    xbm = XBM(size=len(dataset), embedding_dim=16, unique=True, activate_after=0)
+    xbm = XBM(size=len(dataset), embedding_dim=16, unique=True,
+              activate_after=0, weight=0.5)
     batch = _make_batch(dataset, host_t, np.arange(8))
     x = device_t(batch["image"])
     variables = model.init(
@@ -242,7 +249,50 @@ def test_xbm_in_step(tiny_setup):
     hyper = _build_hyper(entries, 1, 0, 0, None)
     state, metrics = step(state, batch, hyper)
     assert int(jax.device_get(state.xbm.valid.sum())) == 8
-    assert np.isfinite(float(metrics["total_loss"]))
+    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    assert np.isfinite(m["total_loss"])
+    # both terms logged for both loss kinds
+    assert "loss_0_CalibrationLoss" in m and "loss_0_memory_CalibrationLoss" in m
+    assert "loss_1_SmoothAP" in m and "loss_1_memory_SmoothAP" in m
+    expected = (
+        1.0 * m["loss_0_CalibrationLoss"] + 1.0 * 0.5 * m["loss_0_memory_CalibrationLoss"]
+        + 2.0 * m["loss_1_SmoothAP"] + 2.0 * 0.5 * m["loss_1_memory_SmoothAP"]
+        + m["ortho_loss"]
+    )
+    assert abs(m["total_loss"] - expected) < 1e-5
+
+
+def test_xbm_invalid_slots_inert_in_scores():
+    """A SCORES loss on a partially-filled memory equals the same loss on
+    only the valid slots: invalid slots (score −4, relevance 0) must not act
+    as mid-ranked negatives."""
+    import jax.numpy as jnp
+
+    from irw_tpu.losses import get_loss
+    from irw_tpu.losses.base import LossContext
+
+    rng = np.random.RandomState(3)
+    e = rng.randn(4, 8).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    mem = rng.randn(10, 8).astype(np.float32)
+    mem /= np.linalg.norm(mem, axis=1, keepdims=True)
+    labels = np.array([0, 1, 0, 1])
+    mem_labels = rng.randint(0, 2, 10)
+    valid = np.array([True] * 6 + [False] * 4)
+
+    scores_full = e @ mem.T
+    scores_full = np.where(valid[None, :], scores_full, -4.0)
+    rel_full = (labels[:, None] == mem_labels[None, :]) & valid[None, :]
+
+    loss = get_loss("SmoothAP", tau=0.01, return_type="mAP")
+    full = float(loss(LossContext(
+        scores=jnp.asarray(scores_full),
+        label_matrix=jnp.asarray(rel_full, np.float32)), None, None)[0])
+    only_valid = float(loss(LossContext(
+        scores=jnp.asarray((e @ mem[valid].T)),
+        label_matrix=jnp.asarray(
+            (labels[:, None] == mem_labels[None, valid]), np.float32)), None, None)[0])
+    assert abs(full - only_valid) < 1e-5
 
 
 def test_full_train_loop_and_eval(tiny_setup, tmp_path):

@@ -152,6 +152,50 @@ def test_rank_ap_matches_reference(reference_rank_ap, cls_name, kwargs, rng):
     assert abs(ref_val - our_val) < 1e-5
 
 
+@pytest.mark.parametrize("cls_name,kwargs", [
+    ("HeavisideAP", {}),
+    ("SmoothAP", {"tau": 0.01}),
+    ("SupAP", {"tau": 0.01, "rho": 100.0, "delta": 0.05}),
+])
+def test_rank_ap_multilabel_matches_reference(reference_rank_ap, cls_name, kwargs, rng):
+    """Multilabel (VOC/COCO-style) batches: step_rank's pos-pos mask is
+    rel(i,j) & target[q,j], which differs from the single-label case —
+    regression test for the broadcast-axis bug found by the round-1 advisor."""
+    mod, ref_lib, torch = reference_rank_ap
+    import jax
+    import jax.numpy as jnp
+
+    from irw_tpu.losses import get_loss
+    from irw_tpu.losses.base import LossContext
+    from irw_tpu.utils.label_matrix import create_label_matrix
+
+    emb = rng.randn(8, 16).astype(np.float32)
+    # multilabel: each sample has 1-3 of 5 labels
+    labels = (rng.rand(8, 5) < 0.4).astype(np.float32)
+    labels[np.arange(8), rng.randint(0, 5, 8)] = 1.0  # ensure non-empty
+    e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    scores = e @ e.T
+
+    ref_loss = getattr(mod, cls_name)(return_type="mAP", **kwargs)
+    ref_target = ref_lib.create_label_matrix(torch.from_numpy(labels))
+    ref_scores = torch.from_numpy(scores.copy()).requires_grad_(True)
+    ref_val = ref_loss(ref_scores, ref_target)
+    ref_val.backward()
+    # HeavisideAP's custom backward returns None (zero) gradients
+    ref_grad = (ref_scores.grad.numpy() if ref_scores.grad is not None
+                else np.zeros_like(scores))
+
+    ours = get_loss(cls_name, return_type="mAP", **kwargs)
+    lm = create_label_matrix(jnp.asarray(labels))
+
+    def f(s):
+        return ours(LossContext(scores=s, label_matrix=lm), None, None)[0]
+
+    our_val, our_grad = jax.value_and_grad(f)(jnp.asarray(scores))
+    assert abs(float(ref_val) - float(our_val)) < 1e-5
+    np.testing.assert_allclose(np.asarray(our_grad), ref_grad, atol=1e-5)
+
+
 def test_rank_ap_general_matches_reference(reference_rank_ap, rng):
     """Non-square (memory) scores: our scan-based general path vs the
     reference's general_forward per-query loop."""
