@@ -114,14 +114,50 @@ def main():
     accel_time = time_pipeline(accel, batch, iters=10, variables=variables, pipeline=pipeline)
     tpu_ips = batch_size / accel_time
 
+    # analytic MFU for the inference path (forward FLOPs / bf16 peak)
+    from irw_tpu.utils.flops import device_peak_flops, flagship_forward_flops
+
+    fwd_flops = flagship_forward_flops()
+    peak, peak_label = device_peak_flops(accel)
+    infer_mfu = fwd_flops * tpu_ips / peak
+
     # CPU reference of the identical program (conservative stand-in for the
-    # torch/pywt reference pipeline) — small batch, per-image extrapolation
+    # torch/pywt reference pipeline) — small batch, per-image extrapolation,
+    # ≥3 iterations so the denominator isn't a single noisy sample
     cpu = jax.devices("cpu")[0]
     cpu_batch = batch[:8]
     # CPU leg uses the jnp wavelet path (compiled pallas is TPU-only)
     _, cpu_pipeline = build_pipeline(use_pallas=False)
-    cpu_time = time_pipeline(cpu, cpu_batch, iters=1, variables=variables, pipeline=cpu_pipeline)
+    cpu_time = time_pipeline(cpu, cpu_batch, iters=3, variables=variables, pipeline=cpu_pipeline)
     cpu_ips = cpu_batch.shape[0] / cpu_time
+
+    # unfrozen flagship train step (the reference study's actual regime:
+    # all 4 DINOv2 branches train — multidino_attention_hashing_ortho.yaml
+    # frozen: False ×4), batch 96
+    train_extras = {}
+    try:
+        import importlib.util as _ilu
+        import os as _os
+
+        spec = _ilu.spec_from_file_location(
+            "irw_train_bench",
+            _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          "benchmarks", "train_bench.py"))
+        tb = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(tb)
+        t_batch = 96
+        step, t_state, t_batch_data, t_entries = tb.build(t_batch, frozen=False)
+        dt, _, _ = tb.measure(step, t_state, t_batch_data, t_entries, t_batch,
+                              iters=5)
+        train_ips = t_batch / dt
+        train_extras = {
+            "train_ips_unfrozen": round(train_ips, 1),
+            "train_ms_per_step_unfrozen": round(dt * 1000, 1),
+            "train_mfu_unfrozen": round(3.0 * fwd_flops * train_ips / peak, 4),
+        }
+    except Exception as exc:  # keep the headline line robust
+        train_extras = {"train_ips_unfrozen": None,
+                        "train_bench_error": repr(exc)[:200]}
 
     # VOC-sized retrieval eval wall-clock (5717 × 5717 Hamming + metric suite)
     from irw_tpu.ops.metrics import compute_retrieval_metrics
@@ -161,10 +197,13 @@ def main():
         "vs_baseline": round(tpu_ips / cpu_ips, 2),
         "extra": {
             "cpu_reference_ips": round(cpu_ips, 2),
+            "mfu": round(infer_mfu, 4),
+            "mfu_peak": peak_label,
             "voc_full_eval_seconds": round(eval_seconds, 3),
             "voc_eval_map": round(res["map"], 4),
             "tpu_cpu_map_parity_diff": round(float(parity_diff), 6),
             "backend": jax.default_backend(),
+            **train_extras,
         },
     }))
 

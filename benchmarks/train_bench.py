@@ -2,11 +2,20 @@
 """Training-step throughput on the flagship VOC regime (not part of the
 driver's bench.py contract — run manually; results recorded in BASELINE.md).
 
-Regime: frozen ViT-S backbones + trainable fusion/hash head, HashLoss with
-trainable proxies, batch 96 @224² (the VOC ablation protocol,
-studies/voc_lambda_2_ablation_….yaml).
+Two regimes:
+
+- ``--frozen``: frozen ViT-S backbones + trainable fusion/hash head (the
+  round-1 measurement);
+- default (unfrozen): all four DINOv2 branches train — the reference's
+  actual flagship study config
+  (config/model/multidino_attention_hashing_ortho.yaml sets frozen: False
+  for every branch; studies/voc_lambda_2_….yaml trains it that way).
+
+HashLoss with trainable proxies, batch 96 @224² by default.  Prints
+ms/step, img/s, and analytic MFU.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -16,33 +25,32 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def build(batch_size: int, frozen: bool, sub_batch=None, flash=False):
     import jax
-    import jax.numpy as jnp
     import optax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from irw_tpu.engine.optimizers import build_optimizers
     from irw_tpu.engine.train_step import build_train_step
-    from irw_tpu.engine.train import _build_hyper
     from irw_tpu.getter import init_train_state
     from irw_tpu.losses import build_losses
     from irw_tpu.models import get_model
-
     from irw_tpu.transforms import build_transforms
 
-    batch_size = 96
     _, device_transform = build_transforms(
         {"SWTTransform": {"level": 1, "wavelet": "haar"}}
     )
+    vit_kwargs = {"dtype": "bfloat16"}
+    if not frozen:
+        # unfrozen backward through 4×ViT-S needs block remat to fit HBM
+        vit_kwargs["remat_blocks"] = True
+    if flash:
+        vit_kwargs["use_flash"] = True
     model = get_model(
         "multidino_attention_hashing_ortho",
         backbone="dinov2_vits14",
         nbits=64,
-        frozen_backbone=True,
-        vit_kwargs={"dtype": "bfloat16"},
+        frozen_backbone=frozen,
+        vit_kwargs=vit_kwargs,
         fusion_config={"type": "cross_attention_advanced", "output_dim": 384,
                        "num_queries": 4, "num_heads": 8, "ortho_weight": 0.01},
     )
@@ -63,48 +71,92 @@ def main():
          "band_drop": jax.random.PRNGKey(2)},
         sample_bands,
     )
+    frozen_cols = tuple(model.frozen_param_collections)
     entries = build_optimizers(
         [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-4}}],
         variables["params"],
-        frozen_collections=tuple(model.frozen_param_collections),
+        frozen_collections=frozen_cols,
     )
     state = init_train_state(
-        model, losses, entries, loss_tx, batch, device_transform=device_transform, seed=0
+        model, losses, entries, loss_tx, batch,
+        device_transform=device_transform, seed=0,
     )
     step = jax.jit(
         build_train_step(
             model, losses, entries, loss_tx, clip_grad=5.0,
             device_transform=device_transform,
-            frozen_collections=tuple(model.frozen_param_collections),
+            sub_batch=sub_batch,
+            frozen_collections=frozen_cols,
         ),
         donate_argnums=(0,),
     )
+    return step, state, batch, entries
+
+
+def measure(step, state, batch, entries, batch_size: int, iters: int = 10):
+    import jax
+
+    from irw_tpu.engine.train import _build_hyper
+
     hyper = _build_hyper(entries, 1, 0, 0, None)
-
-    state, metrics = step(state, batch, hyper)  # compile
-    print("compiled; loss:", float(metrics["total_loss"]))
-    iters = 10
-
-    # (a) deployable number: device-resident batch (PCIe-attached hosts
-    # stream batches asynchronously; the axon dev tunnel is far slower)
     dev_batch = {k: jax.device_put(np.asarray(v)) for k, v in batch.items()}
+
+    t_compile = time.perf_counter()
     state, metrics = step(state, dev_batch, hyper)
+    loss0 = float(metrics["total_loss"])  # hard sync
+    compile_s = time.perf_counter() - t_compile
+
+    state, metrics = step(state, dev_batch, hyper)  # warm
+    _ = float(metrics["total_loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, dev_batch, hyper)
-    _ = float(metrics["total_loss"])
+    _ = float(metrics["total_loss"])  # host fetch = reliable sync on axon
     dt = (time.perf_counter() - t0) / iters
-    print(f"train step (device-resident batch): {dt*1000:.1f} ms/step -> "
-          f"{batch_size/dt:.0f} img/s (batch {batch_size}, frozen backbones)")
+    return dt, loss0, compile_s
 
-    # (b) including host->device transfer of the uint8 batch (dev tunnel)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch, hyper)
-    _ = float(metrics["total_loss"])
-    dt = (time.perf_counter() - t0) / iters
-    print(f"train step (incl. uint8 host transfer): {dt*1000:.1f} ms/step -> "
-          f"{batch_size/dt:.0f} img/s")
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frozen", action="store_true",
+                        help="freeze the 4 ViT branches (round-1 regime)")
+    parser.add_argument("--batch", type=int, default=96)
+    parser.add_argument("--sub-batch", type=int, default=None,
+                        help="remat+scan micro-batching size")
+    parser.add_argument("--flash", action="store_true",
+                        help="Pallas flash attention + fused QKV projection")
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+    from irw_tpu.utils.flops import device_peak_flops, flagship_forward_flops
+
+    step, state, batch, entries = build(args.batch, args.frozen,
+                                        sub_batch=args.sub_batch,
+                                        flash=args.flash)
+    dt, loss0, compile_s = measure(step, state, batch, entries, args.batch,
+                                   args.iters)
+    ips = args.batch / dt
+
+    fwd = flagship_forward_flops()
+    # unfrozen train ≈ 3× forward (fwd + 2× in backward); frozen ≈ 1× (the
+    # backbone runs forward-only under stop_gradient, heads are <1%)
+    flops_per_img = fwd * (1.0 if args.frozen else 3.0)
+    peak, label = device_peak_flops()
+    mfu = flops_per_img * ips / peak
+
+    regime = "frozen" if args.frozen else "unfrozen"
+    print(f"train step [{regime}, batch {args.batch}"
+          + (f", sub_batch {args.sub_batch}" if args.sub_batch else "")
+          + (", flash" if args.flash else "")
+          + f"]: {dt*1000:.1f} ms/step -> {ips:.0f} img/s"
+          f" | MFU {mfu*100:.1f}% of {label}"
+          f" ({flops_per_img/1e9:.1f} GFLOP/img analytic)"
+          f" | first loss {loss0:.4f}, compile {compile_s:.0f}s")
 
 
 if __name__ == "__main__":

@@ -44,7 +44,12 @@ def compute_embeddings(
 
         mesh = make_mesh()
     if mesh is not None and batch_size % mesh.devices.size != 0:
-        mesh = None  # uneven shard — fall back to single-device eval
+        LOGGER.warning(
+            f"eval batch_size {batch_size} not divisible by the "
+            f"{mesh.devices.size}-device mesh — falling back to single-device "
+            "embedding sweep (pick eval_bs as a mesh multiple to scale it)"
+        )
+        mesh = None
 
     order = np.arange(len(dataset))
     batches = [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
@@ -90,20 +95,39 @@ def _metric_suite(query_emb, query_labels, gallery_emb, gallery_labels, cfg):
     multi_level = ql.ndim == 2 and not cfg.get("multi_label", ql.dtype.kind == "f")
     levels = ql.shape[1] if multi_level else 1
 
+    # with >1 device, shard the gallery axis of the ranking over the mesh —
+    # the query×gallery distance matrix, top-k and metric reductions become
+    # SPMD collectives instead of leaving n-1 chips idle
+    use_mesh = jax.device_count() > 1 and not cfg.get("force_single_device")
+
     out = {}
     for level in range(levels):
         q = ql[:, level] if multi_level else ql
         g = gl[:, level] if multi_level else gl
-        res = compute_retrieval_metrics(
-            query_emb,
-            jnp.asarray(q),
-            gallery_emb,
-            jnp.asarray(g),
-            metric=metric,
-            k=k,
-            same_source=same_source,
-            with_hashing_stats=with_hash,
-        )
+        if use_mesh:
+            from irw_tpu.parallel.eval_sharding import sharded_retrieval_metrics
+
+            res = sharded_retrieval_metrics(
+                query_emb,
+                jnp.asarray(q),
+                gallery_emb,
+                jnp.asarray(g),
+                metric=metric,
+                k=k,
+                same_source=same_source,
+                with_hashing_stats=with_hash,
+            )
+        else:
+            res = compute_retrieval_metrics(
+                query_emb,
+                jnp.asarray(q),
+                gallery_emb,
+                jnp.asarray(g),
+                metric=metric,
+                k=k,
+                same_source=same_source,
+                with_hashing_stats=with_hash,
+            )
         for name, value in res.items():
             if name.endswith("curve"):
                 continue

@@ -91,6 +91,32 @@ def _constant(**_):
     return lambda t: 1.0
 
 
+def _onecycle(max_lr, epochs=100, steps_per_epoch=100, pct_start=0.3,
+              div_factor=25.0, final_div_factor=1e4, base_lr=1.0,
+              total_steps=None, **_):
+    """torch OneCycleLR (anneal_strategy='cos'): cosine ramp from
+    max_lr/div_factor up to max_lr over pct_start of the run, then cosine
+    anneal down to initial/final_div_factor.  Returned as a scale relative
+    to the optimizer's base lr."""
+    total = int(total_steps or (epochs * steps_per_epoch))
+    initial = max_lr / div_factor
+    minimum = initial / final_div_factor
+    up = max(int(pct_start * total), 1)
+
+    def interp(a, b, frac):
+        return b + (a - b) * (1 + math.cos(math.pi * frac)) / 2
+
+    def f(t):
+        t = min(t, total)
+        if t < up:
+            lr = interp(initial, max_lr, t / up)
+        else:
+            lr = interp(max_lr, minimum, (t - up) / max(total - up, 1))
+        return lr / base_lr
+
+    return f
+
+
 def make_schedule(config: dict, base_lr: float = 1.0) -> Callable[[int], float]:
     name = config["name"]
     kwargs = dict(config.get("kwargs") or {})
@@ -109,6 +135,11 @@ def make_schedule(config: dict, base_lr: float = 1.0) -> Callable[[int], float]:
         return _warmcos(**kwargs)
     if name == "ConstantLR":
         return _constant()
+    if name == "OneCycleLR":
+        # steps_per_epoch may arrive as an unresolved/absent interpolation
+        kwargs.setdefault("steps_per_epoch", 100)
+        kwargs.pop("last_epoch", None)
+        return _onecycle(base_lr=base_lr, **kwargs)
     if name == "SequentialLR":
         # getter.py:143-146: piecewise schedules switched at milestones
         subs = [make_schedule(s, base_lr) for s in kwargs["schedulers"]]

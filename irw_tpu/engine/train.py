@@ -127,6 +127,18 @@ def train(
 
     logger = MetricsLogger(log_dir)
     frozen = tuple(getattr(model, "frozen_param_collections", ()) or ())
+    # config-level freezing flags (reference freeze_batch_norm.py /
+    # freeze_pos_embedding.py, toggled per model preset)
+    model_cfg = dict(config.get("model") or {})
+    if model_cfg.get("freeze_batch_norm") or model_cfg.get("freeze_pos_embedding"):
+        from irw_tpu.utils.freezing import (
+            combine, freeze_batch_norm_params, freeze_pos_embedding,
+        )
+
+        if model_cfg.get("freeze_batch_norm"):
+            frozen = combine(frozen, freeze_batch_norm_params())
+        if model_cfg.get("freeze_pos_embedding"):
+            frozen = combine(frozen, freeze_pos_embedding())
 
     # mesh data-parallelism: with >1 device, replicate the state and shard
     # every batch over the mesh (XLA inserts the gradient psums)

@@ -93,6 +93,10 @@ class Getter:
 
         def make_tx(opt_cfg):
             kw = dict((opt_cfg or {}).get("kwargs") or {})
+            # reference arcface.yaml keys lr/weight_decay at the top level
+            for k in ("lr", "weight_decay", "momentum"):
+                if k not in kw and (opt_cfg or {}).get(k) is not None:
+                    kw[k] = opt_cfg[k]
             lr = kw.pop("lr", 1e-4)
             wd = kw.pop("weight_decay", 1e-4)
             name = (opt_cfg or {}).get("name", "AdamW")
@@ -121,17 +125,24 @@ class Getter:
         return optax.multi_transform(transforms, label_tree)
 
     def get_memory(self, memory_config, embedding_dim: int, label_shape=()):
-        if not memory_config:
+        """Reference memory presets (config/memory/*.yaml) keep ``weight`` and
+        ``activate_after`` at the top level with {size, unique} in kwargs;
+        ``name: null`` / ``size: null`` means no memory."""
+        if not memory_config or not memory_config.get("name", "XBM"):
             return None
         kwargs = dict(memory_config.get("kwargs") or memory_config)
         kwargs.pop("name", None)
+        if kwargs.get("size") in (None, 0):
+            return None
         return XBM(
-            size=kwargs["size"],
+            size=int(kwargs["size"]),
             embedding_dim=embedding_dim,
             label_shape=tuple(label_shape),
             unique=bool(kwargs.get("unique", True)),
-            weight=float(kwargs.get("weight", 1.0)),
-            activate_after=int(kwargs.get("activate_after", 0)),
+            weight=float(kwargs.get("weight",
+                                    memory_config.get("weight", 1.0) or 1.0)),
+            activate_after=int(kwargs.get(
+                "activate_after", memory_config.get("activate_after", 0) or 0)),
         )
 
 

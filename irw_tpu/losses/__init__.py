@@ -22,6 +22,7 @@ kwargs}, ...]``, config/loss/*.yaml) into ``[(loss, weight), ...]`` like
 
 from irw_tpu.losses.base import LossBase, LossContext, LossKind
 from irw_tpu.losses.rank_ap import (
+    AffineAP,
     BlackBoxAP,
     FastAP,
     HeavisideAP,
@@ -45,6 +46,7 @@ LOSS_REGISTRY = {
     "HeavisideAP": HeavisideAP,
     "SmoothAP": SmoothAP,
     "SupAP": SupAP,
+    "AffineAP": AffineAP,
     "SoftBinAP": SoftBinAP,
     "BlackBoxAP": BlackBoxAP,
     "FastAP": FastAP,

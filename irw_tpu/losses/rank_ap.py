@@ -168,6 +168,34 @@ class SupAP(SmoothRankAP):
         return step_rank(diff, pos3, self.tau, self.rho, self.offset, self.delta, self.start)
 
 
+class AffineAP(SmoothRankAP):
+    """Piecewise-affine rank surrogate.
+
+    The reference ships only the preset (config/loss/affineap.yaml: theta,
+    mu_n, mu_p) — no implementation exists anywhere in its tree, so this is
+    the natural reading from the ROADMAP lineage: replace the sigmoid with a
+    clipped affine ramp ``clip(theta + x / (2·mu), 0, 1)`` (slope width
+    2·mu_n below zero, 2·mu_p above), with the SupAP pos-pos heaviside
+    branch.
+    """
+
+    def __init__(self, theta=0.5, mu_n=0.025, mu_p=0.025, **kw):
+        super().__init__(**kw)
+        self.theta, self.mu_n, self.mu_p = theta, mu_n, mu_p
+
+    def rank_approx(self, diff, target, general: bool = False):
+        if general:
+            pos3 = jnp.broadcast_to(target[None, :] > 0, diff.shape)
+        else:
+            rel_ij = create_label_matrix(target) > 0
+            pos3 = rel_ij[None, :, :] & (target[:, None, :] > 0)
+        ramp = jnp.clip(
+            self.theta + diff / jnp.where(diff > 0, 2.0 * self.mu_p, 2.0 * self.mu_n),
+            0.0, 1.0,
+        )
+        return jnp.where(pos3, heaviside(diff), ramp)
+
+
 class SoftBinAP(LossBase):
     """NAVER deep-AP: quantized-histogram AP (softbin_ap.py:35-100).
 
@@ -178,9 +206,12 @@ class SoftBinAP(LossBase):
     kind = LossKind.SCORES
 
     def __init__(self, nq: int = 25, min_sim: float = -1.0, max_sim: float = 1.0,
-                 return_type: str = "1-mAP"):
+                 return_type: str = "1-mAP", **aliases):
         self.nq = nq
-        self.min_sim, self.max_sim = min_sim, max_sim
+        # the reference preset (config/loss/softbinap.yaml) keys these min/max
+        self.min_sim = aliases.pop("min", min_sim)
+        self.max_sim = aliases.pop("max", max_sim)
+        assert not aliases, f"unknown SoftBinAP kwargs {sorted(aliases)}"
         self.return_type = return_type
 
     def __call__(self, ctx: LossContext, params=None, state=None):

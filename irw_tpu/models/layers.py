@@ -46,7 +46,9 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU — what torch nn.GELU()/DINOv2 compute; the tanh
+        # approximation breaks converted-weight forward parity
+        x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.out_dim, dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x

@@ -85,6 +85,12 @@ def _populate():
     }
     MODEL_REGISTRY.update(entries)
 
+    # reference-preset class names (RetrievalNet, MultiDinoHashing, ...)
+    # with the reference kwargs dialect — factory.py adapters
+    from irw_tpu.models.factory import reference_model_entries
+
+    MODEL_REGISTRY.update(reference_model_entries())
+
     # HF-backed towers (clip/siglip2/metaclip2, net.py:335-374): gated —
     # only registered when transformers' flax classes import cleanly
     try:

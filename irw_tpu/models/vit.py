@@ -156,6 +156,9 @@ class VisionTransformer(nn.Module):
     num_domains: int = 1
     img_size: int = 224
     scan_blocks: bool = False  # nn.scan over depth: one block in the HLO
+    remat_blocks: bool = False  # jax.checkpoint each scanned block: backward
+    # recomputes block internals instead of storing depth× activations —
+    # required to fit unfrozen training of the 4-branch flagship in HBM
     use_flash: bool = False  # Pallas flash attention (TPU only)
     dtype: jnp.dtype = jnp.float32
 
@@ -207,8 +210,14 @@ class VisionTransformer(nn.Module):
                     toks = Block(**block_kw)(toks, train, dom)
                     return (toks, dom), None
 
+            step_cls = BlockStep
+            if self.remat_blocks:
+                # save only the carry between blocks; recompute attn/mlp
+                # internals in backward (trades ~⅓ extra FLOPs for ~depth×
+                # less activation memory)
+                step_cls = nn.remat(BlockStep, prevent_cse=False)
             stack = nn.scan(
-                BlockStep,
+                step_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
@@ -247,6 +256,8 @@ def vit_base(**kw) -> VisionTransformer:
 VIT_DIMS = {
     "dinov2_vits14": 384,
     "dinov2_vitb14": 768,
+    "dinov3_vits16": 384,
+    "dinov3_vitb16": 768,
     "vit_small": 384,
     "vit_base": 768,
     "deit_small": 384,
@@ -263,6 +274,14 @@ def vit_config(name: str, **kw) -> dict:
         base = dict(embed_dim=384, depth=12, num_heads=6, scan_blocks=True)
     elif name in ("dinov2_vitb14", "vit_base", "deit_base"):
         base = dict(embed_dim=768, depth=12, num_heads=12, scan_blocks=True)
+    elif name.startswith("dinov3_vits"):
+        # DINOv3 ViT-S/16 (net.py:275-296 hub load; same trunk shape,
+        # patch 16) — weights come via the offline converter
+        base = dict(embed_dim=384, depth=12, num_heads=6, patch_size=16,
+                    scan_blocks=True)
+    elif name.startswith("dinov3_vitb"):
+        base = dict(embed_dim=768, depth=12, num_heads=12, patch_size=16,
+                    scan_blocks=True)
     elif name in ("vit_tiny", "test_tiny"):
         # a tiny variant for tests/benches of the surrounding machinery
         base = dict(embed_dim=64, depth=2, num_heads=2, patch_size=8)

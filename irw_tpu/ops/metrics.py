@@ -110,10 +110,16 @@ def mean_reciprocal_rank(rel):
     return jnp.where(jnp.isfinite(first_hit), 1.0 / first_hit, 0.0)
 
 
-def bit_balance(codes):
+def bit_balance(codes, valid=None):
     """Per-bit balance over gallery sign codes: 1 = 50/50 split, 0 = dead
-    bit (accuracy_calculator.py:188-194)."""
-    frac_positive = (codes > 0).astype(jnp.float32).mean(axis=0)
+    bit (accuracy_calculator.py:188-194).  ``valid`` masks padded rows
+    (mesh-sharded galleries are padded to a device multiple)."""
+    positive = (codes > 0).astype(jnp.float32)
+    if valid is None:
+        frac_positive = positive.mean(axis=0)
+    else:
+        v = valid.astype(jnp.float32)
+        frac_positive = (positive * v[:, None]).sum(axis=0) / jnp.maximum(v.sum(), 1.0)
     return 1.0 - 2.0 * jnp.abs(frac_positive - 0.5)
 
 
@@ -323,7 +329,7 @@ def compute_retrieval_metrics(
     )
     out = {key: (val if key.endswith("curve") else float(val)) for key, val in out.items()}
     if with_hashing_stats:
-        bal = bit_balance(gallery)
+        bal = bit_balance(gallery, valid=gallery_valid)
         out["bit_balance"] = float(bal.mean())
         out["worst_bit_balance"] = float(bal.min())
         out["maphashing"] = out["map"]

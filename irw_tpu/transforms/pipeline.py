@@ -63,6 +63,39 @@ def _maybe_blur(img: Image.Image, rng, p: float = 0.5) -> Image.Image:
     return img
 
 
+def _color_jitter(img: Image.Image, rng, brightness=0.0, contrast=0.0,
+                  saturation=0.0, hue=0.0) -> Image.Image:
+    """torchvision-style ColorJitter: per-image factors sampled uniformly
+    from [max(0, 1−v), 1+v] (hue from [−h, h]), applied in random order; a
+    zero span disables that component (torchvision _check_input semantics).
+    Used by the flagship train pipelines
+    (/root/reference/config/transform/voc_swt.yaml:9-13)."""
+    from PIL import ImageEnhance
+
+    ops = []
+    if brightness:
+        ops.append(("b", rng.uniform(max(0.0, 1 - brightness), 1 + brightness)))
+    if contrast:
+        ops.append(("c", rng.uniform(max(0.0, 1 - contrast), 1 + contrast)))
+    if saturation:
+        ops.append(("s", rng.uniform(max(0.0, 1 - saturation), 1 + saturation)))
+    if hue:
+        ops.append(("h", rng.uniform(-hue, hue)))
+    for i in rng.permutation(len(ops)):
+        kind, f = ops[int(i)]
+        if kind == "b":
+            img = ImageEnhance.Brightness(img).enhance(f)
+        elif kind == "c":
+            img = ImageEnhance.Contrast(img).enhance(f)
+        elif kind == "s":
+            img = ImageEnhance.Color(img).enhance(f)
+        else:  # hue: shift the H channel of an HSV decomposition
+            hsv = np.asarray(img.convert("HSV"), dtype=np.int16)
+            hsv[..., 0] = (hsv[..., 0] + int(round(f * 255))) % 256
+            img = Image.fromarray(hsv.astype(np.uint8), mode="HSV").convert("RGB")
+    return img
+
+
 class HostTransform:
     """Minimal host-side geometry.  ``ops`` is a list of (name, kwargs):
     Resize, CenterCrop, RandomCrop, RandomResizedCrop,
@@ -135,9 +168,12 @@ class HostTransform:
                 h, w = self._size2d(kw.get("size", 224))
                 if train:
                     scale = kw.get("scale", (0.08, 1.0))
+                    ratio_span = kw.get("ratio", (3 / 4, 4 / 3))
                     area = img.width * img.height
                     target = rng.uniform(*scale) * area
-                    ratio = rng.uniform(3 / 4, 4 / 3)
+                    # torchvision samples the aspect ratio log-uniformly
+                    ratio = float(np.exp(rng.uniform(
+                        np.log(ratio_span[0]), np.log(ratio_span[1]))))
                     cw = int(round(np.sqrt(target * ratio)))
                     ch = int(round(np.sqrt(target / ratio)))
                     cw, ch = min(cw, img.width), min(ch, img.height)
@@ -148,6 +184,27 @@ class HostTransform:
             elif name == "RandomHorizontalFlip":
                 if train and rng.rand() < kw.get("p", 0.5):
                     img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            elif name == "ColorJitter":
+                if train:
+                    img = _color_jitter(
+                        img, rng,
+                        brightness=kw.get("brightness", 0.0),
+                        contrast=kw.get("contrast", 0.0),
+                        saturation=kw.get("saturation", 0.0),
+                        hue=kw.get("hue", 0.0),
+                    )
+            elif name == "RandomGrayscale":
+                if train and rng.rand() < kw.get("p", 0.1):
+                    from PIL import ImageOps
+
+                    img = ImageOps.grayscale(img).convert("RGB")
+            elif name == "GaussianBlur":
+                if train and rng.rand() < kw.get("p", 1.0):
+                    from PIL import ImageFilter
+
+                    sigma = kw.get("sigma", (0.1, 2.0))
+                    lo, hi = (sigma, sigma) if isinstance(sigma, (int, float)) else sigma
+                    img = img.filter(ImageFilter.GaussianBlur(radius=rng.uniform(lo, hi)))
             elif name == "FixSize":
                 # bicubic pad-to-multiple (BaseWaveletTransform.fix_size)
                 factor = 2 ** kw.get("level", 1)
@@ -284,6 +341,9 @@ HOST_OPS = {
     "RandomCrop",
     "RandomResizedCrop",
     "RandomHorizontalFlip",
+    "ColorJitter",
+    "RandomGrayscale",
+    "GaussianBlur",
     "FixSize",
     "MultiCrop",
 }

@@ -90,10 +90,24 @@ def run(config, base_config=None, checkpoint_dir=None, splits=None):
         x,
         train=True,
     )
+    # frozen param groups: the model's own (frozen backbones) + the config's
+    # freeze_batch_norm / freeze_pos_embedding flags (reference
+    # main/utils/freeze_batch_norm.py, freeze_pos_embedding.py, applied in
+    # run.py's model setup)
+    from irw_tpu.utils.freezing import (
+        combine, freeze_batch_norm_params, freeze_pos_embedding,
+    )
+
+    frozen_collections = tuple(getattr(model, "frozen_param_collections", ()) or ())
+    if config.model.get("freeze_batch_norm"):
+        frozen_collections = combine(frozen_collections, freeze_batch_norm_params())
+    if config.model.get("freeze_pos_embedding"):
+        frozen_collections = combine(frozen_collections, freeze_pos_embedding())
+
     optimizer_entries = getter.get_optimizer(
         variables["params"],
         config.get("optimizer", [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-4}}]),
-        frozen_collections=tuple(getattr(model, "frozen_param_collections", ()) or ()),
+        frozen_collections=frozen_collections,
     )
 
     # embedding dim for XBM from a forward pass

@@ -103,9 +103,16 @@ def test_every_config_option_composes_and_builds():
             for p in glob.glob(os.path.join(CONFIG_DIR, group, "*.yaml"))
         )
     assert len(groups["model"]) >= 10 and len(groups["loss"]) >= 10
+    # presets whose interpolations reach into a sibling group need a
+    # matching option, same pairing the reference's own defaults use
+    extra = {
+        ("loss", "arcface"): ["model=resnet"],
+        ("model", "wcnn_attention_all_subs"): ["transform=sdd_dwt_all_subs"],
+    }
     for group, options in groups.items():
         for option in options:
-            cfg = compose(CONFIG_DIR, "default", [f"{group}={option}"])
+            cfg = compose(CONFIG_DIR, "default",
+                          [f"{group}={option}"] + extra.get((group, option), []))
             if group == "loss":
                 build_losses(cfg.loss)
             if group == "model":

@@ -1,0 +1,303 @@
+"""Numerical torch→flax weight-conversion parity.
+
+torchvision/timm are not in this image, so the torch side is defined here as
+minimal faithful reference models — torchvision resnet50 v1.5 semantics
+(stride on the 3×3 bottleneck conv, downsample 1×1) and DINOv2 block
+semantics (pre-norm, LayerScale, exact GELU) — emitting the exact
+state-dict key naming the reference checkpoints use (conv1/bn1/layerS.B.*,
+blocks.N.attn.qkv/...; net.py:21-38, 222-273).  A converted forward must
+match the torch forward to float32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from tools.convert_torch_weights import (  # noqa: E402
+    convert_dinov2,
+    convert_resnet,
+    stack_scanned_blocks,
+)
+
+
+# --------------------------------------------------------------------------
+# torch reference: torchvision-style ResNet-50
+# --------------------------------------------------------------------------
+
+
+class _TorchBottleneck(torch.nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(planes)
+        self.conv2 = torch.nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = torch.nn.BatchNorm2d(planes)
+        self.conv3 = torch.nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = torch.nn.BatchNorm2d(planes * 4)
+        self.relu = torch.nn.ReLU(inplace=False)
+        self.downsample = None
+        if stride != 1 or inplanes != planes * 4:
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(inplanes, planes * 4, 1, stride, bias=False),
+                torch.nn.BatchNorm2d(planes * 4),
+            )
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class _TorchResNet50(torch.nn.Module):
+    def __init__(self, layers=(3, 4, 6, 3)):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = torch.nn.BatchNorm2d(64)
+        self.relu = torch.nn.ReLU(inplace=False)
+        self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+        inplanes = 64
+        for s, (planes, n) in enumerate(zip((64, 128, 256, 512), layers)):
+            blocks = []
+            for b in range(n):
+                stride = 2 if s > 0 and b == 0 else 1
+                blocks.append(_TorchBottleneck(inplanes, planes, stride))
+                inplanes = planes * 4
+            setattr(self, f"layer{s + 1}", torch.nn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for s in range(1, 5):
+            x = getattr(self, f"layer{s}")(x)
+        return x.mean(dim=(2, 3))  # global average pool
+
+
+def _randomize_bn_stats(net, rng):
+    for m in net.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.tensor(
+                rng.uniform(-0.2, 0.2, m.running_mean.shape), dtype=torch.float32))
+            m.running_var.copy_(torch.tensor(
+                rng.uniform(0.5, 1.5, m.running_var.shape), dtype=torch.float32))
+            m.weight.data.copy_(torch.tensor(
+                rng.uniform(0.8, 1.2, m.weight.shape), dtype=torch.float32))
+            m.bias.data.copy_(torch.tensor(
+                rng.uniform(-0.1, 0.1, m.bias.shape), dtype=torch.float32))
+
+
+def test_resnet50_converted_forward_matches_torch(rng):
+    from irw_tpu.models.resnet import resnet50
+
+    net = _TorchResNet50().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(net, rng)
+    tree = convert_resnet(net.state_dict(), (3, 4, 6, 3), bottleneck=True)
+
+    x = rng.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+
+    model = resnet50()
+    out = model.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# torch reference: DINOv2-style ViT
+# --------------------------------------------------------------------------
+
+
+class _TorchDinoBlock(torch.nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.norm1 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.attn = torch.nn.Module()
+        self.attn.qkv = torch.nn.Linear(dim, dim * 3)
+        self.attn.proj = torch.nn.Linear(dim, dim)
+        self.ls1 = torch.nn.Module()
+        self.ls1.gamma = torch.nn.Parameter(torch.full((dim,), 1e-5))
+        self.norm2 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = torch.nn.Module()
+        self.mlp.fc1 = torch.nn.Linear(dim, dim * 4)
+        self.mlp.fc2 = torch.nn.Linear(dim * 4, dim)
+        self.gelu = torch.nn.GELU()  # exact (erf)
+
+    def _attention(self, x):
+        b, n, d = x.shape
+        hd = d // self.heads
+        qkv = self.attn.qkv(x).reshape(b, n, 3, self.heads, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = torch.softmax(q @ k.transpose(-2, -1) / hd**0.5, dim=-1)
+        out = (att @ v).transpose(1, 2).reshape(b, n, d)
+        return self.attn.proj(out)
+
+    def forward(self, x):
+        x = x + self.ls1.gamma * self._attention(self.norm1(x))
+        x = x + self.ls2.gamma * self.mlp.fc2(self.gelu(self.mlp.fc1(self.norm2(x))))
+        return x
+
+
+class _TorchDino(torch.nn.Module):
+    def __init__(self, dim=128, depth=3, heads=2, patch=16):
+        super().__init__()
+        num_patches = (32 // patch) ** 2
+        self.cls_token = torch.nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = torch.nn.Parameter(
+            torch.randn(1, num_patches + 1, dim) * 0.02)
+        self.patch_embed = torch.nn.Module()
+        self.patch_embed.proj = torch.nn.Conv2d(3, dim, patch, patch)
+        self.blocks = torch.nn.ModuleList(
+            _TorchDinoBlock(dim, heads) for _ in range(depth))
+        for blk in self.blocks:  # DINOv2 names the second LayerScale ls2
+            blk.ls2 = torch.nn.Module()
+            blk.ls2.gamma = torch.nn.Parameter(torch.full((dim,), 1e-5))
+        self.norm = torch.nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        b = x.shape[0]
+        t = self.patch_embed.proj(x).flatten(2).transpose(1, 2)  # (B, N, D)
+        t = torch.cat([self.cls_token.expand(b, -1, -1), t], dim=1)
+        t = t + self.pos_embed
+        for blk in self.blocks:
+            t = blk(t)
+        return self.norm(t)[:, 0]
+
+
+@pytest.mark.parametrize("scan", [False, True])
+def test_dinov2_converted_forward_matches_torch(rng, scan):
+    from irw_tpu.models.vit import VisionTransformer
+
+    torch.manual_seed(0)
+    net = _TorchDino(dim=128, depth=3, heads=2, patch=16).eval()
+    with torch.no_grad():
+        for blk in net.blocks:  # non-trivial LayerScale values
+            blk.ls1.gamma.uniform_(0.5, 1.5)
+            blk.ls2.gamma.uniform_(0.5, 1.5)
+    tree = convert_dinov2(net.state_dict())
+    if scan:
+        tree["params"] = stack_scanned_blocks(tree["params"], depth=3)
+
+    x = rng.randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+
+    model = VisionTransformer(
+        embed_dim=128, depth=3, num_heads=2, patch_size=16, scan_blocks=scan)
+    out, _ = model.apply(
+        {"params": tree["params"]}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_converted_tree_structure_matches_init(rng):
+    """The converted trees have exactly the param structure flax init
+    produces (no silently ignored leaves)."""
+    import jax
+
+    from irw_tpu.models.resnet import resnet50
+
+    net = _TorchResNet50().eval()
+    tree = convert_resnet(net.state_dict(), (3, 4, 6, 3), bottleneck=True)
+    model = resnet50()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def paths(t):
+        return {jax.tree_util.keystr(p) for p, _ in
+                jax.tree_util.tree_leaves_with_path(t)}
+
+    assert paths(variables["params"]) == paths(tree["params"])
+    assert paths(variables["batch_stats"]) == paths(tree["batch_stats"])
+
+
+# --------------------------------------------------------------------------
+# torch reference: torchvision-style DenseNet
+# --------------------------------------------------------------------------
+
+
+class _TorchDenseLayer(torch.nn.Module):
+    def __init__(self, in_ch, growth, bn_size=4):
+        super().__init__()
+        self.norm1 = torch.nn.BatchNorm2d(in_ch)
+        self.conv1 = torch.nn.Conv2d(in_ch, bn_size * growth, 1, bias=False)
+        self.norm2 = torch.nn.BatchNorm2d(bn_size * growth)
+        self.conv2 = torch.nn.Conv2d(bn_size * growth, growth, 3, padding=1,
+                                     bias=False)
+
+    def forward(self, x):
+        y = self.conv1(torch.relu(self.norm1(x)))
+        y = self.conv2(torch.relu(self.norm2(y)))
+        return torch.cat([x, y], dim=1)
+
+
+class _TorchDenseNet(torch.nn.Module):
+    def __init__(self, block_sizes=(2, 3), growth=8, init_features=16):
+        super().__init__()
+        self.features = torch.nn.Module()
+        self.features.conv0 = torch.nn.Conv2d(3, init_features, 7, 2, 3,
+                                              bias=False)
+        self.features.norm0 = torch.nn.BatchNorm2d(init_features)
+        ch = init_features
+        self._block_sizes = block_sizes
+        for bi, n in enumerate(block_sizes, start=1):
+            block = torch.nn.Module()
+            for li in range(1, n + 1):
+                setattr(block, f"denselayer{li}", _TorchDenseLayer(ch, growth))
+                ch += growth
+            setattr(self.features, f"denseblock{bi}", block)
+            if bi < len(block_sizes):
+                tr = torch.nn.Module()
+                tr.norm = torch.nn.BatchNorm2d(ch)
+                ch //= 2
+                tr.conv = torch.nn.Conv2d(tr.norm.num_features, ch, 1, bias=False)
+                setattr(self.features, f"transition{bi}", tr)
+        self.features.norm5 = torch.nn.BatchNorm2d(ch)
+
+    def forward(self, x):
+        f = self.features
+        x = torch.relu(f.norm0(f.conv0(x)))
+        x = torch.nn.functional.max_pool2d(x, 3, 2, 1)
+        for bi, n in enumerate(self._block_sizes, start=1):
+            block = getattr(f, f"denseblock{bi}")
+            for li in range(1, n + 1):
+                x = getattr(block, f"denselayer{li}")(x)
+            if bi < len(self._block_sizes):
+                tr = getattr(f, f"transition{bi}")
+                x = torch.nn.functional.avg_pool2d(
+                    tr.conv(torch.relu(tr.norm(x))), 2, 2)
+        return torch.relu(f.norm5(x)).mean(dim=(2, 3))
+
+
+def test_densenet_converted_forward_matches_torch(rng):
+    from irw_tpu.models.densenet import DenseNet
+
+    from tools.convert_torch_weights import convert_densenet
+
+    torch.manual_seed(1)
+    net = _TorchDenseNet(block_sizes=(2, 3), growth=8, init_features=16).eval()
+    with torch.no_grad():
+        _randomize_bn_stats(net, rng)
+    tree = convert_densenet(net.state_dict(), block_sizes=(2, 3))
+
+    x = rng.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+
+    model = DenseNet(block_sizes=(2, 3), growth_rate=8, init_features=16)
+    out = model.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-4)

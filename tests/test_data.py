@@ -212,3 +212,89 @@ def test_dsch_trainer_early_stopping():
     assert stop.update(0.3)  # 2 bad epochs
     assert dsch_alpha(0) == 1.0
     assert dsch_alpha(100) > dsch_alpha(10) > 1.0
+
+
+REF_TRANSFORMS = "/root/reference/config/transform"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REF_TRANSFORMS),
+                    reason="reference tree not mounted")
+@pytest.mark.parametrize("preset", ["voc_swt.yaml", "cub_dwt.yaml"])
+def test_reference_transform_yaml_runs_train_step(preset):
+    """The VERBATIM reference transform presets (incl. ColorJitter) compose
+    through build_transforms and feed one real train step
+    (/root/reference/config/transform/voc_swt.yaml:1-16)."""
+    import os
+
+    import jax
+    import optax
+    import yaml
+
+    from irw_tpu.engine.optimizers import build_optimizers
+    from irw_tpu.engine.train import _build_hyper
+    from irw_tpu.engine.train_step import build_train_step
+    from irw_tpu.getter import Getter, init_train_state
+    from irw_tpu.losses import build_losses
+    from irw_tpu.models import get_model
+
+    with open(os.path.join(REF_TRANSFORMS, preset)) as f:
+        cfg = yaml.safe_load(f)
+    (host_t, device_t), (host_e, device_e) = Getter().get_transform(cfg)
+
+    ds = SyntheticDataset(num_samples=8, num_classes=2, image_size=260, seed=0)
+    rng = np.random.RandomState(0)
+    train_imgs = np.stack([host_t(ds.load_image(i), rng, True) for i in range(2)])
+    assert train_imgs.shape == (2, 224, 224, 3) and train_imgs.dtype == np.uint8
+    eval_imgs = np.stack([host_e(ds.load_image(i), rng, False) for i in range(2)])
+    assert eval_imgs.shape == (2, 224, 224, 3)
+
+    bands = device_t(train_imgs)
+    expect_hw = 224 if "swt" in preset else 112  # SWT size-preserving, DWT halves
+    assert bands.shape == (2, 4, expect_hw, expect_hw, 3)
+
+    model = get_model(
+        "multidino_attention_hashing_ortho", backbone="vit_tiny", nbits=16,
+        frozen_backbone=False,
+        fusion_config={"type": "cross_attention_advanced", "output_dim": 64,
+                       "num_queries": 2, "num_heads": 2, "ortho_weight": 0.01})
+    losses = build_losses([
+        {"name": "HashLoss", "weight": 1.0,
+         "kwargs": {"num_classes": 2, "embedding_size": 16}}])
+    batch = {"image": train_imgs, "label": ds.labels[:2], "index": np.arange(2)}
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True)
+    entries = build_optimizers(
+        [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}],
+        variables["params"])
+    loss_tx = optax.adamw(1e-3)
+    state = init_train_state(model, losses, entries, loss_tx, batch,
+                             device_transform=device_t, seed=0)
+    step = jax.jit(build_train_step(model, losses, entries, loss_tx,
+                                    device_transform=device_t))
+    hyper = _build_hyper(entries, 1, 0, 0, None)
+    _, metrics = step(state, batch, hyper)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_color_jitter_grayscale_blur_named_ops(dataset):
+    """ColorJitter/RandomGrayscale/GaussianBlur as named host ops: train mode
+    perturbs pixels, eval mode is a no-op passthrough."""
+    host_t, _ = build_transforms({
+        "Resize": {"size": 32},
+        "ColorJitter": {"brightness": 0.5, "contrast": 0.5,
+                        "saturation": 0.5, "hue": 0.1},
+        "RandomGrayscale": {"p": 1.0},
+        "GaussianBlur": {"p": 1.0, "sigma": (0.5, 1.0)},
+    })
+    img = dataset.load_image(0)
+    rng = np.random.RandomState(0)
+    out_train = host_t(img, rng, True)
+    out_eval = host_t(img, np.random.RandomState(0), False)
+    base = np.asarray(img.resize((32, 32), 2), dtype=np.uint8)  # 2 = BILINEAR
+    assert out_train.shape == (32, 32, 3) and out_eval.shape == (32, 32, 3)
+    np.testing.assert_array_equal(out_eval, base)  # eval: geometry only
+    assert np.abs(out_train.astype(int) - base.astype(int)).max() > 5
+    # grayscale with p=1 in train: all channels equal
+    assert (out_train[..., 0] == out_train[..., 1]).all()

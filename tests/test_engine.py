@@ -604,3 +604,46 @@ def test_freeze_helpers_build_optimizer_masks():
     updates, _ = tx.update(grads, state, params)
     assert float(jnp.abs(updates["pos_embed"]).sum()) == 0.0  # frozen
     assert float(jnp.abs(updates["head"]["kernel"]).sum()) > 0.0
+
+
+def test_landmark_vectorized_matches_scalar_oracle():
+    """The batched junk-corrected mAP equals the per-query scalar loop
+    (kept as oracle) on random gnd structures at roxford-like density."""
+    from irw_tpu.engine.landmark import (
+        _ap_for_query,
+        landmark_evaluation,
+    )
+
+    rng = np.random.RandomState(7)
+    nq, ng, d = 12, 120, 16
+    q = rng.randn(nq, d).astype(np.float32)
+    g = rng.randn(ng, d).astype(np.float32)
+    gnd = []
+    for _ in range(nq):
+        perm = rng.permutation(ng)
+        n_easy, n_hard, n_junk = rng.randint(0, 10, 3)
+        gnd.append({
+            "easy": perm[:n_easy],
+            "hard": perm[n_easy:n_easy + n_hard],
+            "junk": perm[n_easy + n_hard:n_easy + n_hard + n_junk],
+        })
+
+    out = landmark_evaluation(q, g, gnd)
+
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    gn = g / np.linalg.norm(g, axis=1, keepdims=True)
+    orders = np.argsort(-(qn @ gn.T), axis=1)
+    for protocol in ("medium", "hard"):
+        aps = []
+        for qi, entry in enumerate(gnd):
+            easy, hard = set(entry["easy"].tolist()), set(entry["hard"].tolist())
+            junk = set(entry["junk"].tolist())
+            if protocol == "medium":
+                pos, jnk = easy | hard, junk
+            else:
+                pos, jnk = hard, junk | easy
+            if not pos:
+                continue
+            aps.append(_ap_for_query(orders[qi], pos, jnk))
+        expected = float(np.mean(aps)) if aps else 0.0
+        assert abs(out[f"map_{protocol}"] - expected) < 1e-5, protocol

@@ -252,3 +252,34 @@ def test_hf_clip_tower(rng):
 def test_dtype_string_parsing(rng):
     m = get_model("vit_tiny", dtype="bfloat16")
     assert m.dtype == jnp.bfloat16
+
+
+def test_vit_remat_blocks_same_forward_and_grads():
+    """remat_blocks changes memory scheduling only: identical forward
+    outputs and gradients vs the plain scanned ViT."""
+    import jax
+    import jax.numpy as jnp
+
+    from irw_tpu.models.vit import VisionTransformer
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3), jnp.float32)
+    base = VisionTransformer(embed_dim=32, depth=3, num_heads=2, patch_size=8,
+                             scan_blocks=True)
+    remat = VisionTransformer(embed_dim=32, depth=3, num_heads=2, patch_size=8,
+                              scan_blocks=True, remat_blocks=True)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+
+    out_b, _ = base.apply(variables, x, train=False)
+    out_r, _ = remat.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_r), atol=1e-6)
+
+    def loss(m):
+        def f(p):
+            out, _ = m.apply({"params": p}, x, train=False)
+            return (out ** 2).sum()
+        return f
+
+    g_b = jax.grad(loss(base))(variables["params"])
+    g_r = jax.grad(loss(remat))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_b), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

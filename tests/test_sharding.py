@@ -112,3 +112,27 @@ def test_train_loop_uses_mesh(devices, tmp_path, rng):
                            dataset, sampler, {"test": dataset}, host_t, device_t,
                            config, str(tmp_path))
     assert "map_level0" in metrics["test"]
+
+
+def test_engine_evaluate_gallery_sharded_matches_single_device(devices, rng):
+    """The ENGINE eval path (evaluate._metric_suite) now rides the mesh when
+    >1 device is live: its result must equal the explicit single-device
+    metric suite at VOC-ish scale (multi-label, hamming)."""
+    from irw_tpu.engine.evaluate import _metric_suite
+
+    nq, ng, nbits, ndim = 37, 203, 16, 16  # odd sizes: exercises gallery padding
+    q = np.sign(rng.randn(nq, nbits)).astype(np.float32)
+    g = np.sign(rng.randn(ng, nbits)).astype(np.float32)
+    ql = (rng.rand(nq, 5) < 0.3).astype(np.float32)
+    gl = (rng.rand(ng, 5) < 0.3).astype(np.float32)
+    ql[np.arange(nq), rng.randint(0, 5, nq)] = 1.0
+    gl[np.arange(ng), rng.randint(0, 5, ng)] = 1.0
+
+    cfg = {"distance_metric": "hamming", "top_k": 50, "multi_label": True,
+           "same_source": False}
+    sharded = _metric_suite(jnp.asarray(q), ql, jnp.asarray(g), gl, cfg)
+    single = _metric_suite(jnp.asarray(q), ql, jnp.asarray(g), gl,
+                           {**cfg, "force_single_device": True})
+    assert set(sharded) == set(single)
+    for name in single:
+        assert abs(sharded[name] - single[name]) < 1e-5, name

@@ -25,6 +25,17 @@ def _t(x):
     return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
 
 
+def _conv(sd, key):
+    return {"kernel": _t(sd[key + ".weight"]).transpose(2, 3, 1, 0)}
+
+
+def _bn(sd, key):
+    return (
+        {"scale": _t(sd[key + ".weight"]), "bias": _t(sd[key + ".bias"])},
+        {"mean": _t(sd[key + ".running_mean"]), "var": _t(sd[key + ".running_var"])},
+    )
+
+
 def convert_resnet(sd: dict, stage_sizes=(3, 4, 6, 3), bottleneck=True) -> dict:
     """torchvision resnet state dict → irw_tpu.models.resnet.ResNet params.
 
@@ -36,13 +47,10 @@ def convert_resnet(sd: dict, stage_sizes=(3, 4, 6, 3), bottleneck=True) -> dict:
     stats: dict = {}
 
     def conv(key):
-        return {"kernel": _t(sd[key + ".weight"]).transpose(2, 3, 1, 0)}
+        return _conv(sd, key)
 
     def bn(key):
-        return (
-            {"scale": _t(sd[key + ".weight"]), "bias": _t(sd[key + ".bias"])},
-            {"mean": _t(sd[key + ".running_mean"]), "var": _t(sd[key + ".running_var"])},
-        )
+        return _bn(sd, key)
 
     conv_i = bn_i = block_i = 0
 
@@ -80,6 +88,37 @@ def convert_resnet(sd: dict, stage_sizes=(3, 4, 6, 3), bottleneck=True) -> dict:
             params[f"{block_name}_{block_i}"] = bp
             stats[f"{block_name}_{block_i}"] = bs
             block_i += 1
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_densenet(sd: dict, block_sizes=(6, 12, 24, 16)) -> dict:
+    """torchvision densenet state dict → irw_tpu.models.densenet.DenseNet
+    params (features.conv0/norm0, denseblockB.denselayerL.{norm1,conv1,
+    norm2,conv2}, transitionB.{norm,conv}, norm5 → sequential DenseLayer_i /
+    Transition_i children, NHWC kernels)."""
+    params: dict = {}
+    stats: dict = {}
+    params["Conv_0"] = _conv(sd, "features.conv0")
+    params["BatchNorm_0"], stats["BatchNorm_0"] = _bn(sd, "features.norm0")
+    dl = tr = 0
+    for bi, n_layers in enumerate(block_sizes, start=1):
+        for li in range(1, n_layers + 1):
+            pre = f"features.denseblock{bi}.denselayer{li}"
+            bp, bs = {}, {}
+            bp["BatchNorm_0"], bs["BatchNorm_0"] = _bn(sd, f"{pre}.norm1")
+            bp["Conv_0"] = _conv(sd, f"{pre}.conv1")
+            bp["BatchNorm_1"], bs["BatchNorm_1"] = _bn(sd, f"{pre}.norm2")
+            bp["Conv_1"] = _conv(sd, f"{pre}.conv2")
+            params[f"DenseLayer_{dl}"], stats[f"DenseLayer_{dl}"] = bp, bs
+            dl += 1
+        if bi < len(block_sizes):
+            pre = f"features.transition{bi}"
+            tp, ts = {}, {}
+            tp["BatchNorm_0"], ts["BatchNorm_0"] = _bn(sd, f"{pre}.norm")
+            tp["Conv_0"] = _conv(sd, f"{pre}.conv")
+            params[f"Transition_{tr}"], stats[f"Transition_{tr}"] = tp, ts
+            tr += 1
+    params["BatchNorm_1"], stats["BatchNorm_1"] = _bn(sd, "features.norm5")
     return {"params": params, "batch_stats": stats}
 
 
@@ -156,7 +195,9 @@ def stack_scanned_blocks(params: dict, depth: int) -> dict:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--kind", required=True,
-                        choices=["resnet18", "resnet50", "resnet101", "dinov2_vits14", "dinov2_vitb14"])
+                        choices=["resnet18", "resnet50", "resnet101",
+                                 "densenet121",
+                                 "dinov2_vits14", "dinov2_vitb14"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--scan", action="store_true",
@@ -173,6 +214,8 @@ def main():
         sizes = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3),
                  "resnet101": (3, 4, 23, 3)}[args.kind]
         tree = convert_resnet(sd, sizes, bottleneck=args.kind != "resnet18")
+    elif args.kind == "densenet121":
+        tree = convert_densenet(sd)
     else:
         tree = convert_dinov2(sd)
         if args.scan:
