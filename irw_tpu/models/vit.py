@@ -115,6 +115,7 @@ class Block(nn.Module):
     layerscale_init: float = 1e-5
     num_domains: int = 1
     use_flash: bool = False
+    exact_gelu: bool = False  # erf GELU for converted-torch-weight parity
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -135,9 +136,8 @@ class Block(nn.Module):
         ls1 = self.param("ls1", nn.initializers.constant(self.layerscale_init), (dim,))
         x = x + attn_out * ls1
         y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm2")(x, domain)
-        mlp_out = Mlp(int(dim * self.mlp_ratio), dim, self.dropout, dtype=self.dtype)(
-            y, train=train
-        )
+        mlp_out = Mlp(int(dim * self.mlp_ratio), dim, self.dropout,
+                      exact_gelu=self.exact_gelu, dtype=self.dtype)(y, train=train)
         ls2 = self.param("ls2", nn.initializers.constant(self.layerscale_init), (dim,))
         x = x + mlp_out * ls2
         return x
@@ -160,6 +160,7 @@ class VisionTransformer(nn.Module):
     # recomputes block internals instead of storing depth× activations —
     # required to fit unfrozen training of the 4-branch flagship in HBM
     use_flash: bool = False  # Pallas flash attention (TPU only)
+    exact_gelu: bool = False  # erf GELU (torch parity); default tanh approx
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -197,6 +198,7 @@ class VisionTransformer(nn.Module):
             dropout=self.dropout,
             num_domains=self.num_domains,
             use_flash=self.use_flash,
+            exact_gelu=self.exact_gelu,
             dtype=self.dtype,
         )
         if self.scan_blocks and not return_features:

@@ -195,7 +195,8 @@ def test_dinov2_converted_forward_matches_torch(rng, scan):
         ref = net(torch.from_numpy(x)).numpy()
 
     model = VisionTransformer(
-        embed_dim=128, depth=3, num_heads=2, patch_size=16, scan_blocks=scan)
+        embed_dim=128, depth=3, num_heads=2, patch_size=16, scan_blocks=scan,
+        exact_gelu=True)  # bit-parity with torch nn.GELU()
     out, _ = model.apply(
         {"params": tree["params"]}, jnp.asarray(x.transpose(0, 2, 3, 1)),
         train=False)
