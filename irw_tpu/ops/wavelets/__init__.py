@@ -32,7 +32,14 @@ from irw_tpu.ops.wavelets.lifting import (
     haar_dwt2,
     haar_idwt2,
     lifting_decompose,
+    lifting_dwt2,
+    lifting_idwt2,
     subband_stack,
+)
+from irw_tpu.ops.wavelets.lifting_families import (
+    FAMILY_ALIASES,
+    LIFTING_FAMILIES,
+    resolve_family,
 )
 from irw_tpu.ops.wavelets.dwt import dwt2, idwt2, iswt2, swt2, wavedec2, waverec2
 from irw_tpu.ops.wavelets.pallas_dwt import (

@@ -125,6 +125,36 @@ _LIFT_1D = {"haar": _haar_lift_1d, "cdf97": _cdf97_lift_1d}
 _UNLIFT_1D = {"haar": _haar_unlift_1d, "cdf97": _cdf97_unlift_1d}
 
 
+def _register_families():
+    """Make every declarative lifting family (lifting_families.py — the
+    reference's 11 dead-code wavelets, revived) addressable as a basis."""
+    from irw_tpu.ops.wavelets.lifting_families import (
+        FAMILY_ALIASES,
+        LIFTING_FAMILIES,
+        family_lift_1d,
+        family_unlift_1d,
+    )
+
+    def make(key):
+        fam = LIFTING_FAMILIES[key]
+
+        def lift(x, axis, scale=True):
+            return family_lift_1d(x, axis, fam, scale)
+
+        def unlift(s, d, axis, scale=True):
+            return family_unlift_1d(s, d, axis, fam, scale)
+
+        return lift, unlift
+
+    for key in LIFTING_FAMILIES:
+        _LIFT_1D[key], _UNLIFT_1D[key] = make(key)
+    for alias, key in FAMILY_ALIASES.items():
+        _LIFT_1D[alias], _UNLIFT_1D[alias] = _LIFT_1D[key], _UNLIFT_1D[key]
+
+
+_register_families()
+
+
 # ---------------------------------------------------------------------------
 # 2D transforms
 # ---------------------------------------------------------------------------
@@ -183,6 +213,43 @@ def cdf97_idwt2(ll, lh, hl, hh, scales_2d=COEFFS_SCALES_2D):
 
 
 _DWT2 = {"haar": haar_dwt2, "cdf97": cdf97_dwt2}
+_IDWT2 = {"haar": haar_idwt2, "cdf97": cdf97_idwt2}
+
+
+def _register_family_2d():
+    from irw_tpu.ops.wavelets.lifting_families import FAMILY_ALIASES, LIFTING_FAMILIES
+
+    def make(key):
+        def fwd(x, scales_2d=COEFFS_SCALES_2D):
+            return _lifting_dwt2(_pad_to_multiple(x, 2), key, scales_2d)
+
+        def inv(ll, lh, hl, hh, scales_2d=COEFFS_SCALES_2D):
+            return _lifting_idwt2(ll, lh, hl, hh, key, scales_2d)
+
+        return fwd, inv
+
+    for key in LIFTING_FAMILIES:
+        _DWT2[key], _IDWT2[key] = make(key)
+    for alias, key in FAMILY_ALIASES.items():
+        _DWT2[alias], _IDWT2[alias] = _DWT2[key], _IDWT2[key]
+
+
+_register_family_2d()
+
+
+def lifting_dwt2(x, basis: str = "haar", scales_2d=COEFFS_SCALES_2D):
+    """One-level 2D lifting DWT for any registered basis (haar, cdf97, and
+    the 11 revived reference families).  (..., H, W) → 4×(..., H/2, W/2)."""
+    if basis not in _DWT2:
+        raise ValueError(f"unknown lifting basis {basis!r}; one of {sorted(_DWT2)}")
+    return _DWT2[basis](x, scales_2d)
+
+
+def lifting_idwt2(ll, lh, hl, hh, basis: str = "haar", scales_2d=COEFFS_SCALES_2D):
+    """Inverse of :func:`lifting_dwt2`."""
+    if basis not in _IDWT2:
+        raise ValueError(f"unknown lifting basis {basis!r}; one of {sorted(_IDWT2)}")
+    return _IDWT2[basis](ll, lh, hl, hh, scales_2d)
 
 
 @partial(jax.jit, static_argnames=("levels", "basis"))

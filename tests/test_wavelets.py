@@ -215,3 +215,61 @@ def test_pallas_swt_matches_jnp(rng):
     (ca, (lh, hl, hh)), = swt2(x, "haar", level=1)
     expect = jnp.stack([ca, lh, hl, hh], axis=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+# --- declarative lifting families (the reference's 11 revived wavelets) ------
+
+
+def _family_names():
+    from irw_tpu.ops.wavelets import LIFTING_FAMILIES
+
+    return sorted(LIFTING_FAMILIES)
+
+
+@pytest.mark.parametrize("basis", _family_names())
+def test_family_perfect_reconstruction(basis, rng):
+    """Analysis → synthesis identity (the reference's test_lifting_scheme
+    criterion, utils.py:150-151) for every declarative family."""
+    from irw_tpu.ops.wavelets import lifting_dwt2, lifting_idwt2
+
+    x = jnp.asarray(rng.randn(2, 3, 32, 32), dtype=jnp.float64)
+    ll, lh, hl, hh = lifting_dwt2(x, basis)
+    xr = lifting_idwt2(ll, lh, hl, hh, basis)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=3e-5)
+
+
+def test_family_reference_aliases_resolve(rng):
+    """Reference file names (daub_4, bior_spline_33, …) address the same
+    transform as the short names."""
+    from irw_tpu.ops.wavelets import FAMILY_ALIASES, lifting_dwt2
+
+    x = jnp.asarray(rng.randn(1, 8, 8), dtype=jnp.float32)
+    for alias, key in FAMILY_ALIASES.items():
+        a = lifting_dwt2(x, alias)
+        b = lifting_dwt2(x, key)
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(ba), np.asarray(bb))
+
+
+def test_family_subband_stack_end_to_end(rng):
+    """CustomTransform-style path (subband_stack) works for a new family and
+    keeps the (B, 4, h, w, C) layout contract."""
+    from irw_tpu.ops.wavelets import subband_stack
+
+    imgs = jnp.asarray(rng.rand(2, 16, 16, 3), dtype=jnp.float32)
+    out = subband_stack(imgs, levels=1, basis="daub4")
+    assert out.shape == (2, 4, 8, 8, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_family_grad_flows(rng):
+    from irw_tpu.ops.wavelets import lifting_dwt2
+
+    x = jnp.asarray(rng.randn(4, 8, 8), dtype=jnp.float32)
+
+    def f(z):
+        ll, lh, hl, hh = lifting_dwt2(z, "coif12")
+        return (ll**2).sum() + (hh**2).sum()
+
+    g = jax.grad(f)(x)
+    assert g.shape == x.shape and bool(jnp.any(g != 0))
