@@ -25,7 +25,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(batch_size: int, frozen: bool, sub_batch=None, flash=False):
+def build(batch_size: int, frozen: bool, sub_batch=None, flash=False,
+          remat_policy=None):
     import jax
     import optax
 
@@ -43,6 +44,8 @@ def build(batch_size: int, frozen: bool, sub_batch=None, flash=False):
     if not frozen:
         # unfrozen backward through 4×ViT-S needs block remat to fit HBM
         vit_kwargs["remat_blocks"] = True
+        if remat_policy:
+            vit_kwargs["remat_policy"] = remat_policy
     if flash:
         vit_kwargs["use_flash"] = True
     model = get_model(
@@ -123,6 +126,9 @@ def main():
     parser.add_argument("--batch", type=int, default=96)
     parser.add_argument("--sub-batch", type=int, default=None,
                         help="remat+scan micro-batching size")
+    parser.add_argument("--remat-policy", default=None,
+                        choices=["nothing", "dots", "dots_no_batch"],
+                        help="selective checkpointing policy for scanned blocks")
     parser.add_argument("--flash", action="store_true",
                         help="Pallas flash attention + fused QKV projection")
     parser.add_argument("--iters", type=int, default=10)
@@ -137,7 +143,8 @@ def main():
 
     step, state, batch, entries = build(args.batch, args.frozen,
                                         sub_batch=args.sub_batch,
-                                        flash=args.flash)
+                                        flash=args.flash,
+                                        remat_policy=args.remat_policy)
     dt, loss0, compile_s = measure(step, state, batch, entries, args.batch,
                                    args.iters)
     ips = args.batch / dt
@@ -153,6 +160,7 @@ def main():
     print(f"train step [{regime}, batch {args.batch}"
           + (f", sub_batch {args.sub_batch}" if args.sub_batch else "")
           + (", flash" if args.flash else "")
+          + (f", policy={args.remat_policy}" if args.remat_policy else "")
           + f"]: {dt*1000:.1f} ms/step -> {ips:.0f} img/s"
           f" | MFU {mfu*100:.1f}% of {label}"
           f" ({flops_per_img/1e9:.1f} GFLOP/img analytic)"

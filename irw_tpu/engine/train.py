@@ -140,18 +140,45 @@ def train(
         if model_cfg.get("freeze_pos_embedding"):
             frozen = combine(frozen, freeze_pos_embedding())
 
-    # mesh data-parallelism: with >1 device, replicate the state and shard
-    # every batch over the mesh (XLA inserts the gradient psums)
+    # mesh parallelism: with >1 device, shard every batch over the "data"
+    # axis (XLA inserts the gradient psums); `experience.model_parallel` > 1
+    # additionally splits attention heads / MLP hidden over a "model" axis
+    # (Megatron-style specs, parallel/tp.py) — params, Adam moments and the
+    # matching activations get tensor-sharded, the rest replicated
     mesh = None
     if exp.get("use_mesh", True) and jax.device_count() > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from irw_tpu.parallel import make_mesh, shard_train_batch
+        from irw_tpu.parallel import make_mesh, make_mesh_2d, tp_shardings
 
-        mesh = make_mesh()
-        repl = NamedSharding(mesh, P())
-        state = jax.device_put(state, repl)
-        LOGGER.info(f"training data-parallel over {mesh.devices.size} devices")
+        n_dev = jax.device_count()
+        mp = int(exp.get("model_parallel", 1) or 1)
+        if mp > 1:
+            if n_dev % mp:
+                LOGGER.warning(
+                    f"model_parallel={mp} does not divide {n_dev} devices — "
+                    "falling back to pure data parallelism")
+                mp = 1
+            else:
+                from irw_tpu.parallel import validate_tp_divisibility
+
+                mesh = make_mesh_2d(model_parallel=mp)
+                try:
+                    validate_tp_divisibility(state.params, mesh)
+                except ValueError as exc:
+                    LOGGER.warning(f"tensor parallelism disabled: {exc}")
+                    mesh, mp = None, 1
+        if mesh is None:
+            mesh = make_mesh()
+        repl = NamedSharding(mesh, P())  # used for hyperparams each step
+        if mp > 1:
+            state = jax.device_put(state, tp_shardings(state, mesh))
+            LOGGER.info(
+                f"training over {n_dev} devices: data={mesh.shape['data']} "
+                f"× model={mesh.shape['model']} (tensor parallel)")
+        else:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+            LOGGER.info(f"training data-parallel over {n_dev} devices")
     adaptive = bool(exp.get("adaptive_weights", False)) or any(
         entry.get("weight") == "adaptative" for entry in (config.get("loss") or [])
     )

@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from irw_tpu.models.layers import Mlp, trunc_normal_init
@@ -159,6 +160,10 @@ class VisionTransformer(nn.Module):
     remat_blocks: bool = False  # jax.checkpoint each scanned block: backward
     # recomputes block internals instead of storing depth× activations —
     # required to fit unfrozen training of the 4-branch flagship in HBM
+    remat_policy: Optional[str] = None  # selective checkpointing under
+    # remat_blocks: "dots" saves every matmul output (backward recomputes
+    # only the cheap elementwise chain — LN/GELU/softmax — instead of the
+    # whole block), "nothing" is classic full remat.  None = full remat.
     use_flash: bool = False  # Pallas flash attention (TPU only)
     exact_gelu: bool = False  # erf GELU (torch parity); default tanh approx
     dtype: jnp.dtype = jnp.float32
@@ -216,8 +221,18 @@ class VisionTransformer(nn.Module):
             if self.remat_blocks:
                 # save only the carry between blocks; recompute attn/mlp
                 # internals in backward (trades ~⅓ extra FLOPs for ~depth×
-                # less activation memory)
-                step_cls = nn.remat(BlockStep, prevent_cse=False)
+                # less activation memory).  A remat_policy narrows what is
+                # recomputed: "dots" keeps matmul outputs resident so the
+                # backward re-runs only the elementwise chain.
+                policies = {
+                    None: None,
+                    "nothing": jax.checkpoint_policies.nothing_saveable,
+                    "dots": jax.checkpoint_policies.dots_saveable,
+                    "dots_no_batch":
+                        jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                }
+                step_cls = nn.remat(BlockStep, prevent_cse=False,
+                                    policy=policies[self.remat_policy])
             stack = nn.scan(
                 step_cls,
                 variable_axes={"params": 0},

@@ -10,17 +10,27 @@ collectives), and a gallery-sharded distance matrix for evaluation.
 from irw_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    make_mesh_2d,
     pad_to_multiple,
     replicated,
     shard_batch,
     shard_train_batch,
 )
+from irw_tpu.parallel.tp import (
+    tp_leaf_spec,
+    tp_shardings,
+    validate_tp_divisibility,
+)
 
 __all__ = [
     "make_mesh",
+    "make_mesh_2d",
     "batch_sharding",
     "replicated",
     "shard_batch",
     "shard_train_batch",
     "pad_to_multiple",
+    "tp_leaf_spec",
+    "tp_shardings",
+    "validate_tp_divisibility",
 ]

@@ -18,6 +18,19 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(devices=None, model_parallel: int = 1,
+                 axis_names=("data", "model")) -> Mesh:
+    """A (data × model) mesh: the trailing (fastest-varying, ICI-adjacent)
+    device axis carries the model/tensor dimension so tp collectives ride
+    the shortest links."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over the mesh."""
     return NamedSharding(mesh, P(axis_name))
@@ -41,13 +54,14 @@ def pad_to_multiple(array, multiple: int, axis: int = 0):
 def shard_train_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     """Shard a training batch (leading axis) over the mesh — no padding:
     the batch size must divide the mesh (losses must not see pad rows)."""
-    n_dev = mesh.devices.size
+    n_shards = mesh.shape[axis_name]  # only the batch axis's mesh extent matters
     sharding = batch_sharding(mesh, axis_name)
     out = {}
     for key, value in batch.items():
         value = np.asarray(value)
-        assert value.shape[0] % n_dev == 0, (
-            f"train batch dim {value.shape[0]} not divisible by mesh size {n_dev}"
+        assert value.shape[0] % n_shards == 0, (
+            f"train batch dim {value.shape[0]} not divisible by mesh axis "
+            f"{axis_name}={n_shards}"
         )
         out[key] = jax.device_put(value, sharding)
     return out

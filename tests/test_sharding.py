@@ -71,8 +71,13 @@ def test_data_parallel_forward_matches_replicated(devices, rng):
     np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded), atol=1e-5)
 
 
-def test_train_loop_uses_mesh(devices, tmp_path, rng):
-    """The epoch loop auto-shards over the 8-device mesh (use_mesh)."""
+import pytest
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_train_loop_uses_mesh(devices, tmp_path, rng, model_parallel):
+    """The epoch loop auto-shards over the 8-device mesh (use_mesh); with
+    experience.model_parallel=2 it runs dp×tp (data4 × model2)."""
     import optax
 
     from irw_tpu.data import SyntheticDataset
@@ -107,7 +112,8 @@ def test_train_loop_uses_mesh(devices, tmp_path, rng):
                              device_transform=device_t)
     config = {"experience": {"max_iter": 1, "train_eval_freq": 1, "eval_bs": 32,
                              "num_workers": 0, "distance_metric": "hamming",
-                             "use_mesh": True, "seed": 0}}
+                             "use_mesh": True, "seed": 0,
+                             "model_parallel": model_parallel}}
     state, metrics = train(model, state, losses, entries, optax.adamw(1e-3),
                            dataset, sampler, {"test": dataset}, host_t, device_t,
                            config, str(tmp_path))
@@ -136,3 +142,90 @@ def test_engine_evaluate_gallery_sharded_matches_single_device(devices, rng):
     assert set(sharded) == set(single)
     for name in single:
         assert abs(sharded[name] - single[name]) < 1e-5, name
+
+
+def test_tensor_parallel_step_matches_data_parallel(devices, rng):
+    """One train step on a (data4 × model2) mesh with Megatron-style specs
+    (parallel/tp.py) equals the replicated-params step: same loss; params
+    agree to Adam's first-step reordering noise (update magnitude ≈ lr)."""
+    import optax
+
+    import __graft_entry__ as g
+    from irw_tpu.engine.optimizers import build_optimizers
+    from irw_tpu.engine.train import _build_hyper
+    from irw_tpu.engine.train_step import build_train_step
+    from irw_tpu.getter import init_train_state
+    from irw_tpu.losses import build_losses
+    from irw_tpu.parallel import (
+        make_mesh,
+        make_mesh_2d,
+        tp_shardings,
+        validate_tp_divisibility,
+    )
+
+    model = g._flagship("vit_tiny", nbits=16, embed_dim=64, num_heads=2)
+    losses = build_losses([{"name": "HashLoss", "weight": 1.0,
+                            "kwargs": {"num_classes": 4, "embedding_size": 16}}])
+    loss_tx = optax.adamw(1e-3)
+    bs = 8
+    batch = {"image": rng.rand(bs, 4, 32, 32, 3).astype(np.float32),
+             "label": np.arange(bs) % 4, "index": np.arange(bs)}
+    entries_src = [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)},
+        jnp.asarray(batch["image"]), train=True)
+    entries = build_optimizers(entries_src, variables["params"])
+    state = init_train_state(model, losses, entries, loss_tx, batch, seed=0)
+    step = build_train_step(model, losses, entries, loss_tx, clip_grad=5.0)
+    hyper = _build_hyper(entries, epoch=1, step=0, warm_up=0, warm_up_key=None)
+
+    def run(tp: bool):
+        if tp:
+            mesh = make_mesh_2d(jax.devices(), model_parallel=2)
+            validate_tp_divisibility(state.params, mesh)
+            st_shard = tp_shardings(state, mesh)
+        else:
+            mesh = make_mesh(jax.devices())
+            st_shard = NamedSharding(mesh, P())
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        st = jax.device_put(state, st_shard)
+        b = {k: jax.device_put(np.asarray(v), data) for k, v in batch.items()}
+        hy = jax.device_put(hyper, repl)
+        jitted = jax.jit(step, in_shardings=(st_shard, data, repl),
+                         out_shardings=(st_shard, repl))
+        new_state, metrics = jitted(st, b, hy)
+        return float(metrics["total_loss"]), new_state
+
+    loss_dp, s_dp = run(tp=False)
+    loss_tp, s_tp = run(tp=True)
+    assert abs(loss_dp - loss_tp) < 1e-4
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_dp.params, s_tp.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
+
+
+def test_tp_specs_shard_expected_leaves(devices):
+    """The suffix rules hit attention qkv/out and MLP kernels (through the
+    vmap band axis) and leave LayerNorm/BatchNorm/token params replicated."""
+    import __graft_entry__ as g
+    from irw_tpu.parallel import make_mesh_2d, tp_shardings
+
+    model = g._flagship("vit_tiny", nbits=16, embed_dim=64, num_heads=2)
+    variables = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+             "band_drop": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 4, 32, 32, 3), jnp.float32), train=True))
+    mesh = make_mesh_2d(jax.devices(), model_parallel=2)
+    shardings = tp_shardings(variables["params"], mesh)
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): s.spec
+            for path, s in jax.tree_util.tree_flatten_with_path(shardings)[0]}
+    sharded = {p for p, spec in flat.items() if any(ax == "model" for ax in spec)}
+    assert any("attn/query/kernel" in p for p in sharded)
+    assert any("attn/out/kernel" in p for p in sharded)
+    assert any("Mlp_0/Dense_0/kernel" in p for p in sharded)
+    assert any("Mlp_0/Dense_1/kernel" in p for p in sharded)
+    assert not any("norm" in p.lower() for p in sharded)
+    assert not any("pos_embed" in p or "cls_token" in p for p in sharded)
