@@ -54,7 +54,7 @@ def _filter_kwargs(ctor, kw: dict, renames: dict | None = None) -> dict:
 def _pop_common(kw: dict) -> dict:
     """Normalise the reference's shared kwargs dialect."""
     kw = dict(kw)
-    kw.pop("with_autocast", None)  # bf16 policy is the modules' dtype field
+    autocast = kw.pop("with_autocast", None)
     kw.pop("modelhooks", None)  # hooks are wired via experience.hooks_configs
     binary = kw.pop("binary_config", None)
     if isinstance(binary, dict) and binary.get("nbits") is not None:
@@ -70,6 +70,20 @@ def _pop_common(kw: dict) -> dict:
         kw.setdefault("frozen_backbone", bool(bcfg.get("frozen", False)))
         if bcfg.get("use_dsln"):
             kw.setdefault("use_dsln", True)
+    # TPU equivalents of the reference's training affordances, applied to the
+    # ViT family via vit_kwargs (non-ViT models just drop them):
+    # - with_autocast (torch.cuda.amp, base_update.py autocast blocks) →
+    #   bf16 compute policy (MXU peak path);
+    # - unfrozen backbones → scanned-block remat with the "dots" policy, the
+    #   measured throughput/HBM sweet spot for full fine-tuning (BASELINE.md)
+    vit_kw = dict(kw.get("vit_kwargs") or {})
+    if autocast:
+        vit_kw.setdefault("dtype", "bfloat16")
+    if kw.get("frozen_backbone") is False:
+        vit_kw.setdefault("remat_blocks", True)
+        vit_kw.setdefault("remat_policy", "dots")
+    if vit_kw:
+        kw["vit_kwargs"] = vit_kw
     return kw
 
 
