@@ -77,7 +77,58 @@ def _cdf97_pair_lift_sublane(x):
     return even * CDF97_K, odd / CDF97_K
 
 
+def _shift_sublane(v, n: int):
+    """v[i] → v[i+n] along axis -2, zero-padded (generalised ±n shift)."""
+    if n == 0:
+        return v
+    zeros = jnp.zeros_like(v[..., : abs(n), :])
+    if n > 0:
+        return jnp.concatenate([v[..., n:, :], zeros], axis=-2)
+    return jnp.concatenate([zeros, v[..., :n, :]], axis=-2)
+
+
+def _make_family_pair_lift(family):
+    """Sublane pair-lift for a declarative lifting family
+    (lifting_families.py): same algebra as family_lift_1d, expressed on the
+    (..., M, 2, W) even/odd register layout."""
+    steps, k = family
+
+    def lift(x):
+        *lead, h, w = x.shape
+        xr = x.reshape(*lead, h // 2, 2, w)
+        even = xr[..., 0, :]
+        odd = xr[..., 1, :]
+        for target, taps in steps:
+            src = odd if target == "even" else even
+            acc = None
+            for shift, coeff in taps:
+                term = coeff * _shift_sublane(src, shift)
+                acc = term if acc is None else acc + term
+            if target == "even":
+                even = even + acc
+            else:
+                odd = odd + acc
+        return even * k, odd / k
+
+    return lift
+
+
 _LIFTS = {"haar": _pair_lift_sublane, "cdf97": _cdf97_pair_lift_sublane}
+
+
+def _register_family_lifts():
+    from irw_tpu.ops.wavelets.lifting_families import (
+        FAMILY_ALIASES,
+        LIFTING_FAMILIES,
+    )
+
+    for name, family in LIFTING_FAMILIES.items():
+        _LIFTS[name] = _make_family_pair_lift(family)
+    for alias, name in FAMILY_ALIASES.items():
+        _LIFTS[alias] = _LIFTS[name]
+
+
+_register_family_lifts()
 
 
 def _lift_level(x, basis: str):
@@ -121,8 +172,9 @@ def _haar_kernel(levels: int, x_ref, out_ref):
 def lifting_multi_level_pallas(
     x, levels: int = 1, basis: str = "haar", tile_n: int = 8, interpret: bool | None = None
 ):
-    """Fused multi-level lifting DWT (haar or cdf97), coarsest-level
-    subbands only (the reference CustomTransform's coarse_only output).
+    """Fused multi-level lifting DWT (haar, cdf97, or any declarative
+    lifting family), coarsest-level subbands only (the reference
+    CustomTransform's coarse_only output).
 
     Args:
       x: (N, H, W) float array; H, W divisible by 2**levels.

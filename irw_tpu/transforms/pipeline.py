@@ -255,8 +255,11 @@ class DeviceTransform:
                 divisible = (
                     x.shape[-3] % (2**levels) == 0 and x.shape[-2] % (2**levels) == 0
                 )
-                if (coarse_only or levels == 1) and not ll_only and divisible and basis in ("haar", "cdf97"):
-                    # fused Pallas multi-level lifting kernel
+                from irw_tpu.ops.wavelets.pallas_dwt import _LIFTS as _PALLAS_LIFTS
+
+                if (coarse_only or levels == 1) and not ll_only and divisible and basis in _PALLAS_LIFTS:
+                    # fused Pallas multi-level lifting kernel (every lifting
+                    # family, incl. the 11 revived reference wavelets)
                     from irw_tpu.ops.wavelets.pallas_dwt import lifting_multi_level_pallas
 
                     img = jnp.moveaxis(x, -1, 1)  # (B, C, H, W)

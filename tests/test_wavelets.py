@@ -273,3 +273,18 @@ def test_family_grad_flows(rng):
 
     g = jax.grad(f)(x)
     assert g.shape == x.shape and bool(jnp.any(g != 0))
+
+
+@pytest.mark.parametrize("basis", ["daub4", "cdf53", "coif12", "bior33",
+                                   "bior48", "rev_bior39"])
+@pytest.mark.parametrize("levels", [1, 2])
+def test_pallas_family_matches_jnp(basis, levels, rng):
+    """The fused Pallas kernel runs every declarative lifting family and
+    agrees with the jnp lifting path."""
+    from irw_tpu.ops.wavelets.pallas_dwt import lifting_multi_level_pallas
+
+    x = jnp.asarray(rng.randn(3, 32, 32), dtype=jnp.float32)
+    out = lifting_multi_level_pallas(x, levels=levels, basis=basis, tile_n=4)
+    approx, details = lifting_decompose(x, levels=levels, basis=basis)
+    expect = jnp.stack([approx[-1], *details[-1]], axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-4)
