@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(batch_size: int, frozen: bool, sub_batch=None, flash=False,
-          remat_policy=None):
+          remat_policy=None, fused_qkv=False):
     import jax
     import optax
 
@@ -48,6 +48,8 @@ def build(batch_size: int, frozen: bool, sub_batch=None, flash=False,
             vit_kwargs["remat_policy"] = remat_policy
     if flash:
         vit_kwargs["use_flash"] = True
+    if fused_qkv:
+        vit_kwargs["fused_qkv"] = True
     model = get_model(
         "multidino_attention_hashing_ortho",
         backbone="dinov2_vits14",
@@ -129,6 +131,8 @@ def main():
     parser.add_argument("--remat-policy", default=None,
                         choices=["nothing", "dots", "dots_no_batch"],
                         help="selective checkpointing policy for scanned blocks")
+    parser.add_argument("--fused-qkv", action="store_true",
+                        help="single fused QKV matmul in attention")
     parser.add_argument("--flash", action="store_true",
                         help="Pallas flash attention + fused QKV projection")
     parser.add_argument("--iters", type=int, default=10)
@@ -144,7 +148,8 @@ def main():
     step, state, batch, entries = build(args.batch, args.frozen,
                                         sub_batch=args.sub_batch,
                                         flash=args.flash,
-                                        remat_policy=args.remat_policy)
+                                        remat_policy=args.remat_policy,
+                                        fused_qkv=args.fused_qkv)
     dt, loss0, compile_s = measure(step, state, batch, entries, args.batch,
                                    args.iters)
     ips = args.batch / dt
@@ -161,6 +166,7 @@ def main():
           + (f", sub_batch {args.sub_batch}" if args.sub_batch else "")
           + (", flash" if args.flash else "")
           + (f", policy={args.remat_policy}" if args.remat_policy else "")
+          + (", fused_qkv" if args.fused_qkv else "")
           + f"]: {dt*1000:.1f} ms/step -> {ips:.0f} img/s"
           f" | MFU {mfu*100:.1f}% of {label}"
           f" ({flops_per_img/1e9:.1f} GFLOP/img analytic)"

@@ -28,6 +28,8 @@ for accuracy parity with pretrained runs).
 
 from __future__ import annotations
 
+import math
+
 from typing import Optional
 
 import flax.linen as nn
@@ -78,6 +80,62 @@ class DomainLayerNorm(nn.Module):
         return y * s + b
 
 
+class _Proj(nn.Module):
+    """Parameter holder shaped exactly like flax DenseGeneral's leaves, so a
+    fused-QKV attention keeps the MultiHeadDotProductAttention param tree
+    (query/key/value/out × kernel/bias) — converted torch weights and the
+    tensor-parallel specs (parallel/tp.py) apply unchanged."""
+
+    shape: tuple  # kernel shape, e.g. (D, H, hd)
+    bias_shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        bias = self.param("bias", nn.initializers.zeros, self.bias_shape)
+        return kernel, bias
+
+
+class FusedMHA(nn.Module):
+    """Self-attention with one fused QKV matmul (param-tree identical to
+    flax MultiHeadDotProductAttention, outputs bit-exact).
+
+    MEASURED SLOWER on v5e than the default path and kept opt-in only:
+    846 vs 1597 img/s flagship inference, 251 vs 309 img/s unfrozen
+    training.  XLA already co-schedules the three (D, D) projections; the
+    manual kernel concat materialises (D, 3D) weights per step and forces a
+    worse layout on the split.  Same conclusion as flash attention at seq
+    257 (BASELINE.md) — the compiler's fusion wins at these shapes.
+    """
+
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y, train: bool = False):
+        b, n, d = y.shape
+        h = self.num_heads
+        hd = d // h
+        qk, qb = _Proj((d, h, hd), (h, hd), name="query")()
+        kk, kb = _Proj((d, h, hd), (h, hd), name="key")()
+        vk, vb = _Proj((d, h, hd), (h, hd), name="value")()
+        ok, ob = _Proj((h, hd, d), (d,), name="out")()
+        w_qkv = jnp.concatenate(
+            [t.reshape(d, h * hd) for t in (qk, kk, vk)], axis=1
+        ).astype(self.dtype)
+        b_qkv = jnp.concatenate([t.reshape(h * hd) for t in (qb, kb, vb)])
+        qkv = (y.astype(self.dtype) @ w_qkv + b_qkv.astype(self.dtype))
+        qkv = qkv.reshape(b, n, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q / math.sqrt(hd), k)
+        weights = jax.nn.softmax(scores, axis=-1)
+        if self.dropout > 0.0:
+            weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, n, h * hd)
+        return ctx @ ok.reshape(h * hd, d).astype(self.dtype) + ob.astype(self.dtype)
+
+
 def _flash_mha(y, num_heads: int, dtype, name: str):
     """Multi-head self-attention through the Pallas flash-attention kernel
     (jax.experimental.pallas.ops.tpu.flash_attention): no materialised
@@ -116,6 +174,7 @@ class Block(nn.Module):
     layerscale_init: float = 1e-5
     num_domains: int = 1
     use_flash: bool = False
+    fused_qkv: bool = False  # single fused QKV matmul (param-tree identical)
     exact_gelu: bool = False  # erf GELU for converted-torch-weight parity
     dtype: jnp.dtype = jnp.float32
 
@@ -125,6 +184,9 @@ class Block(nn.Module):
         y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm1")(x, domain)
         if self.use_flash:
             attn_out = _flash_mha(y, self.num_heads, self.dtype, name="attn")
+        elif self.fused_qkv:
+            attn_out = FusedMHA(self.num_heads, dropout=self.dropout,
+                                dtype=self.dtype, name="attn")(y, train=train)
         else:
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads,
@@ -165,6 +227,7 @@ class VisionTransformer(nn.Module):
     # only the cheap elementwise chain — LN/GELU/softmax — instead of the
     # whole block), "nothing" is classic full remat.  None = full remat.
     use_flash: bool = False  # Pallas flash attention (TPU only)
+    fused_qkv: bool = False  # fuse q/k/v into one matmul (same param tree)
     exact_gelu: bool = False  # erf GELU (torch parity); default tanh approx
     dtype: jnp.dtype = jnp.float32
 
@@ -203,6 +266,7 @@ class VisionTransformer(nn.Module):
             dropout=self.dropout,
             num_domains=self.num_domains,
             use_flash=self.use_flash,
+            fused_qkv=self.fused_qkv,
             exact_gelu=self.exact_gelu,
             dtype=self.dtype,
         )

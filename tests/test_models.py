@@ -283,3 +283,23 @@ def test_vit_remat_blocks_same_forward_and_grads():
     g_r = jax.grad(loss(remat))(variables["params"])
     for a, b in zip(jax.tree_util.tree_leaves(g_b), jax.tree_util.tree_leaves(g_r)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_vit_fused_qkv_same_params_and_forward():
+    """The opt-in fused-QKV attention keeps the flax MHA param tree
+    (query/key/value/out) and produces identical forward outputs."""
+    import jax
+    import jax.tree_util as jtu
+
+    from irw_tpu.models.vit import VisionTransformer
+
+    kw = dict(embed_dim=32, depth=2, num_heads=2, patch_size=8, img_size=16)
+    base = VisionTransformer(**kw)
+    fused = VisionTransformer(**kw, fused_qkv=True)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 16, 16, 3), jnp.float32)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    assert jtu.tree_structure(variables) == jtu.tree_structure(
+        fused.init(jax.random.PRNGKey(0), x, train=False))
+    out_b, _ = base.apply(variables, x, train=False)
+    out_f, _ = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_f), atol=1e-6)
