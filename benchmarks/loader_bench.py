@@ -1,0 +1,103 @@
+"""Host loader benchmark: PIL pipeline vs the native C++ loader.
+
+Measures end-to-end host throughput (file read -> JPEG decode -> geometry ->
+uint8 HWC batch) for the flagship eval shape (Resize 224) on synthetic
+JPEGs, across thread counts.  The host loader must outrun the TPU's
+consumption rate (~1.6k img/s flagship inference) or it becomes the
+pipeline bottleneck — the reference leans on torch DataLoader workers here
+(/root/reference/main/datasets/base_dataset.py:77-110).
+
+Usage: python benchmarks/loader_bench.py [--n 512] [--size 500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_dataset(n: int, size: int, tmp: str):
+    from PIL import Image
+
+    rs = np.random.RandomState(0)
+    paths = []
+    for k in range(n):
+        w = size + int(rs.randint(-size // 4, size // 4))
+        h = size + int(rs.randint(-size // 4, size // 4))
+        arr = rs.randint(0, 256, (h, w, 3), np.uint8)
+        p = os.path.join(tmp, f"im{k}.jpg")
+        Image.fromarray(arr).save(p, quality=90)
+        paths.append(p)
+    return paths
+
+
+def bench_pil(paths, out: int, workers: int) -> float:
+    import concurrent.futures as futures
+
+    from PIL import Image
+
+    def load(p):
+        with Image.open(p) as img:
+            return np.asarray(
+                img.convert("RGB").resize((out, out), Image.BILINEAR))
+
+    t0 = time.perf_counter()
+    if workers <= 1:
+        for p in paths:
+            load(p)
+    else:
+        with futures.ThreadPoolExecutor(workers) as pool:
+            list(pool.map(load, paths))
+    return len(paths) / (time.perf_counter() - t0)
+
+
+def bench_native(paths, out: int, workers: int, fast_scale: bool) -> float:
+    from irw_tpu import native
+
+    plan = native.pack_plan([("resize", out, out, native.FILTER_BILINEAR)])
+    plans = [plan] * len(paths)
+    t0 = time.perf_counter()
+    images, status = native.load_batch(paths, plans, out, out,
+                                       n_threads=workers,
+                                       fast_scale=fast_scale)
+    dt = time.perf_counter() - t0
+    assert int(status.sum()) == 0, status
+    assert images.shape == (len(paths), out, out, 3)
+    return len(paths) / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=512)
+    ap.add_argument("--size", type=int, default=500, help="~source image side")
+    ap.add_argument("--out", type=int, default=224)
+    args = ap.parse_args()
+
+    from irw_tpu import native
+
+    assert native.available(), "native loader did not build"
+    with tempfile.TemporaryDirectory() as tmp:
+        paths = make_dataset(args.n, args.size, tmp)
+        # warm the page cache so both legs measure decode, not disk
+        for p in paths:
+            with open(p, "rb") as f:
+                f.read()
+        print(f"{args.n} jpegs ~{args.size}px -> {args.out}x{args.out}")
+        for workers in (1, 4, 8, 16):
+            pil = bench_pil(paths, args.out, workers)
+            nat = bench_native(paths, args.out, workers, fast_scale=False)
+            fast = bench_native(paths, args.out, workers, fast_scale=True)
+            print(f"  workers={workers:2d}: PIL {pil:7.0f} img/s | "
+                  f"native {nat:7.0f} | +DCT-scale {fast:7.0f} img/s"
+                  f" | {fast / pil:4.1f}x")
+
+
+if __name__ == "__main__":
+    main()

@@ -219,6 +219,118 @@ class HostTransform:
             arr = np.stack([arr] * 3, axis=-1)
         return arr
 
+    # ------------------------------------------------------------------
+    # Native-loader geometry planning (irw_tpu/native): the C++ loader
+    # executes crop/resize/flip plans; Python does the sampling here so
+    # augmentation draws are identical to the PIL path above.
+    # ------------------------------------------------------------------
+
+    _PIXEL_OPS = ("ColorJitter", "RandomGrayscale", "GaussianBlur")
+    _GEOMETRY_OPS = ("Resize", "CenterCrop", "RandomCrop",
+                     "RandomResizedCrop", "RandomHorizontalFlip", "FixSize")
+
+    def native_plannable(self, train: bool) -> bool:
+        """True when this pipeline can run through the native C++ loader:
+        geometry-only in train mode (pixel ops stay on PIL), anything but
+        MultiCrop in eval mode (pixel ops are train-only no-ops)."""
+        if train and self.multi_crop is not None:
+            return False
+        for name, _ in self.ops:
+            if name == "MultiCrop":
+                continue
+            if name in self._PIXEL_OPS:
+                if train:
+                    return False
+                continue
+            if name not in self._GEOMETRY_OPS:
+                return False
+        return True
+
+    def plan(self, width: int, height: int, rng, train: bool):
+        """Compute the geometry plan for one (width, height) image,
+        consuming ``rng`` in the same order as ``__call__``.  Returns
+        (steps, out_w, out_h) — steps as understood by
+        ``irw_tpu.native.pack_plan`` — or None when this particular image
+        hits a case only PIL handles (zero-padded crops)."""
+        steps: list[tuple] = []
+        w, h = width, height
+        for name, kw in self.ops:
+            if name == "MultiCrop" or name in self._PIXEL_OPS:
+                continue  # plannable() guarantees these are inactive
+            if name == "Resize":
+                th, tw = self._size2d(kw.get("size", 224))
+                steps.append(("resize", tw, th, 0))
+                w, h = tw, th
+            elif name == "CenterCrop":
+                th, tw = self._size2d(kw.get("size", 224))
+                if tw > w or th > h:
+                    return None  # PIL zero-pads out-of-bounds crops
+                steps.append(("crop", max((w - tw) // 2, 0),
+                              max((h - th) // 2, 0), tw, th))
+                w, h = tw, th
+            elif name == "RandomCrop":
+                th, tw = self._size2d(kw.get("size", 224))
+                if train and w >= tw and h >= th:
+                    left = rng.randint(0, w - tw + 1)
+                    top = rng.randint(0, h - th + 1)
+                else:
+                    if tw > w or th > h:
+                        return None
+                    left = max((w - tw) // 2, 0)
+                    top = max((h - th) // 2, 0)
+                steps.append(("crop", left, top, tw, th))
+                w, h = tw, th
+            elif name == "RandomResizedCrop":
+                th, tw = self._size2d(kw.get("size", 224))
+                if train:
+                    scale = kw.get("scale", (0.08, 1.0))
+                    ratio_span = kw.get("ratio", (3 / 4, 4 / 3))
+                    area = w * h
+                    target = rng.uniform(*scale) * area
+                    ratio = float(np.exp(rng.uniform(
+                        np.log(ratio_span[0]), np.log(ratio_span[1]))))
+                    cw = int(round(np.sqrt(target * ratio)))
+                    ch = int(round(np.sqrt(target / ratio)))
+                    cw, ch = min(cw, w), min(ch, h)
+                    left = rng.randint(0, w - cw + 1)
+                    top = rng.randint(0, h - ch + 1)
+                    steps.append(("crop", left, top, cw, ch))
+                    w, h = cw, ch
+                steps.append(("resize", tw, th, 0))
+                w, h = tw, th
+            elif name == "RandomHorizontalFlip":
+                if train and rng.rand() < kw.get("p", 0.5):
+                    steps.append(("flip",))
+            elif name == "FixSize":
+                factor = 2 ** kw.get("level", 1)
+                new_w = int(np.ceil(w / factor) * factor)
+                new_h = int(np.ceil(h / factor) * factor)
+                if (new_w, new_h) != (w, h):
+                    steps.append(("resize", new_w, new_h, 1))  # bicubic
+                    w, h = new_w, new_h
+            else:
+                return None
+        return steps, w, h
+
+    @staticmethod
+    def apply_plan_pil(img: Image.Image, steps) -> np.ndarray:
+        """Execute a geometry plan through PIL (per-sample fallback when the
+        native loader reports a decode it can't handle)."""
+        for step in steps:
+            if step[0] == "crop":
+                _, left, top, cw, ch = step
+                img = img.crop((left, top, left + cw, top + ch))
+            elif step[0] == "resize":
+                _, tw, th, filt = step
+                img = img.resize(
+                    (tw, th), Image.BICUBIC if filt == 1 else Image.BILINEAR)
+            elif step[0] == "flip":
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        return arr
+
 
 # ---------------------------------------------------------------------------
 # Device stage

@@ -1,0 +1,167 @@
+"""Native C++ host loader (irw_tpu/native): decode/resize parity vs PIL,
+geometry-plan equivalence with HostTransform, per-sample fallback, and the
+EpochLoader fast path end-to-end on an on-disk dataset.
+
+Reference counterpart: torch DataLoader workers + PIL decode + torchvision
+transforms (/root/reference/main/datasets/base_dataset.py:77-110) — here the
+hot path is a C++ thread pool behind a ctypes C ABI.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from irw_tpu import native
+from irw_tpu.data.base import BaseDataset
+from irw_tpu.data.loader import EpochLoader
+from irw_tpu.transforms.pipeline import HostTransform
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native loader unavailable (no toolchain)")
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rs = np.random.RandomState(7)
+    paths = []
+    for k, (w, h, fmt) in enumerate(
+        [(210, 140, "jpg"), (64, 91, "png"), (300, 200, "jpg"),
+         (128, 128, "png"), (75, 260, "jpg"), (224, 224, "jpg")]
+    ):
+        arr = rs.randint(0, 256, (h, w, 3), np.uint8)
+        p = os.path.join(str(d), f"im{k}.{fmt}")
+        Image.fromarray(arr).save(p, **({"quality": 92} if fmt == "jpg" else {}))
+        paths.append(p)
+    return paths
+
+
+class DiskDataset(BaseDataset):
+    def __init__(self, paths):
+        self.paths = list(paths)
+        self.labels = np.arange(len(paths)) % 2
+        self.super_labels = None
+        self._instance_dict = None
+        self._super_dict = None
+
+
+def test_decode_parity(image_dir):
+    for p in image_dir:
+        ref = np.asarray(Image.open(p).convert("RGB"))
+        size = native.image_size(p)
+        assert size == (ref.shape[1], ref.shape[0])
+        got = native.decode(p, size)
+        # same libjpeg family decoder: bit-exact in practice, allow 1 LSB
+        assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+
+def test_resize_parity_vs_pil():
+    rs = np.random.RandomState(3)
+    arr = rs.randint(0, 256, (137, 201, 3), np.uint8)
+    for dw, dh in [(64, 64), (224, 224), (33, 97), (400, 150)]:
+        ref = np.asarray(Image.fromarray(arr).resize((dw, dh), Image.BILINEAR))
+        got = native.resize(arr, dw, dh, native.FILTER_BILINEAR)
+        assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+    ref = np.asarray(Image.fromarray(arr).resize((64, 64), Image.BICUBIC))
+    got = native.resize(arr, 64, 64, native.FILTER_BICUBIC)
+    assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("train", [True, False])
+@pytest.mark.parametrize(
+    "ops",
+    [
+        [("Resize", {"size": 48})],
+        [("Resize", {"size": 64}), ("CenterCrop", {"size": 48})],
+        [("Resize", {"size": 64}), ("RandomCrop", {"size": 48}),
+         ("RandomHorizontalFlip", {"p": 0.5})],
+        [("RandomResizedCrop", {"size": 48, "scale": (0.2, 1.0)}),
+         ("RandomHorizontalFlip", {"p": 0.5})],
+    ],
+)
+def test_plan_matches_pil_call(image_dir, ops, train):
+    """HostTransform.plan + native execution == HostTransform.__call__ (PIL)
+    for the same rng seed, to resize-rounding tolerance."""
+    ht = HostTransform(ops)
+    assert ht.native_plannable(train)
+    for seed, p in enumerate(image_dir):
+        img = Image.open(p).convert("RGB")
+        ref = ht(img, np.random.RandomState(seed), train)
+        planned = ht.plan(img.width, img.height, np.random.RandomState(seed), train)
+        assert planned is not None
+        steps, out_w, out_h = planned
+        assert (ref.shape[1], ref.shape[0]) == (out_w, out_h)
+        images, status = native.load_batch(
+            [p], [native.pack_plan(steps)], out_w, out_h, 1)
+        assert status[0] == 0
+        assert np.abs(ref.astype(int) - images[0].astype(int)).max() <= 1
+
+
+def test_pixel_ops_gate_plannability():
+    ops = [("Resize", {"size": 48}), ("ColorJitter", {"brightness": 0.4})]
+    ht = HostTransform(ops)
+    assert not ht.native_plannable(train=True)   # pixel op -> PIL
+    assert ht.native_plannable(train=False)      # eval: ColorJitter inactive
+
+
+def test_epoch_loader_native_matches_pil(image_dir):
+    ds = DiskDataset(image_dir)
+    batches = [[0, 1, 2], [3, 4, 5]]
+    ht = HostTransform([("Resize", {"size": 64}), ("RandomCrop", {"size": 48}),
+                        ("RandomHorizontalFlip", {"p": 0.5})])
+    nat = list(EpochLoader(ds, batches, ht, num_workers=0, seed=5,
+                           native_fast_scale=False))
+    pil = list(EpochLoader(ds, batches, ht, num_workers=0, seed=5, native="off"))
+    loader = EpochLoader(ds, batches, ht, num_workers=0, seed=5)
+    assert loader._native_eligible()
+    for a, b in zip(nat, pil):
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_array_equal(a["index"], b["index"])
+        assert a["image"].shape == b["image"].shape
+        assert np.abs(a["image"].astype(int) - b["image"].astype(int)).max() <= 1
+
+
+def test_fast_scale_dct_decode_close(tmp_path):
+    """JPEG DCT-scaled decode (fast_scale) stays augmentation-close to the
+    full-resolution path on natural-statistics content."""
+    # smooth gradient + low-frequency pattern (noise images overstate the
+    # difference between scaled and full decode)
+    yy, xx = np.mgrid[0:480, 0:640]
+    arr = np.stack([
+        (xx * 255 / 640), (yy * 255 / 480),
+        127 + 120 * np.sin(xx / 40.0) * np.cos(yy / 60.0),
+    ], axis=-1).astype(np.uint8)
+    p = str(tmp_path / "g.jpg")
+    Image.fromarray(arr).save(p, quality=95)
+    plan = native.pack_plan([("resize", 224, 224, native.FILTER_BILINEAR)])
+    exact, s0 = native.load_batch([p], [plan], 224, 224, 1, fast_scale=False)
+    fast, s1 = native.load_batch([p], [plan], 224, 224, 1, fast_scale=True)
+    assert s0[0] == 0 and s1[0] == 0
+    diff = np.abs(exact[0].astype(int) - fast[0].astype(int))
+    assert diff.mean() < 2.0 and diff.max() <= 40, (diff.mean(), diff.max())
+
+
+def test_epoch_loader_corrupt_file_fallback(image_dir, tmp_path):
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"this is not a jpeg")
+    ds = DiskDataset(list(image_dir[:2]) + [bad])
+    ht = HostTransform([("Resize", {"size": 32})])
+    batch = next(iter(EpochLoader(ds, [[0, 1, 2]], ht, num_workers=0)))
+    assert batch["image"].shape == (3, 32, 32, 3)
+    # corrupt sample -> black (reference tolerance, flikr_coco.py:53-56)
+    assert batch["image"][2].max() == 0
+    assert batch["image"][0].max() > 0
+
+
+def test_in_memory_dataset_stays_on_pil():
+    from irw_tpu.data import SyntheticDataset
+
+    ds = SyntheticDataset(num_classes=2, samples_per_class=2, image_size=32)
+    loader = EpochLoader(ds, [[0, 1]], HostTransform([("Resize", {"size": 32})]),
+                         num_workers=0)
+    assert not loader._native_eligible()
+    batch = next(iter(loader))
+    assert batch["image"].shape == (2, 32, 32, 3)
