@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -109,6 +110,7 @@ def train_dsch(
     best_state = None
     best_score = -float("inf")
     metrics_by_split: dict = {}
+    global_step = int(jax.device_get(state.step))  # one fetch, then host-side
 
     for epoch in range(int(jax.device_get(state.epoch)) + 1, max_iter + 1):
         t0 = time.time()
@@ -121,12 +123,21 @@ def train_dsch(
         loader = EpochLoader(train_dataset, batches, host_transform,
                              num_workers=num_workers, train=True, seed=epoch)
         meters = DictAverage()
+        # host-side step counter + 2-deep in-flight metric window: fetching
+        # per step would block on each step's completion and serialize
+        # dispatch (same fix as engine/train.py)
+        inflight: deque = deque()
         for batch in loader:
-            hyper = _build_hyper(
-                optimizer_entries, epoch, int(jax.device_get(state.step)), 0, None
-            )
+            hyper = _build_hyper(optimizer_entries, epoch, global_step, 0, None)
+            global_step += 1
             state, metrics = step_fn(state, batch, hyper)
-            meters.update({k: float(v) for k, v in jax.device_get(metrics).items()})
+            inflight.append(metrics)
+            if len(inflight) > 2:
+                fetched = jax.device_get(inflight.popleft())
+                meters.update({k: float(v) for k, v in fetched.items()})
+        while inflight:
+            fetched = jax.device_get(inflight.popleft())
+            meters.update({k: float(v) for k, v in fetched.items()})
         logger.log(epoch, meters.avg, prefix="train/")
         LOGGER.info(
             f"[dsch] epoch {epoch}/{max_iter} α={dsch_alpha(epoch, alpha_gamma, alpha_power):.3f} "

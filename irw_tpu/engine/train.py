@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import deque
 from typing import Any
 
 import jax
@@ -272,6 +273,12 @@ def train(
 
         meters = DictAverage()
         data_time = step_time = 0.0  # phase timing (reference train.py:199-208)
+        # Bounded async pipeline: fetching each step's metrics immediately
+        # would block the host on that step's completion and serialize
+        # dispatch; unbounded lookahead would pile every epoch batch into
+        # HBM.  A 2-deep in-flight window (double buffering) keeps the
+        # device busy while capping resident batches.
+        inflight: deque = deque()
         t_mark = time.time()
         for batch in loader:
             data_time += time.time() - t_mark
@@ -286,9 +293,15 @@ def train(
                 hyper = jax.device_put(hyper, repl)
             t_step = time.time()
             state, metrics = step_fn(state, batch, hyper)
-            meters.update({k: float(v) for k, v in jax.device_get(metrics).items()})
+            inflight.append(metrics)
+            if len(inflight) > 2:
+                fetched = jax.device_get(inflight.popleft())
+                meters.update({k: float(v) for k, v in fetched.items()})
             step_time += time.time() - t_step
             t_mark = time.time()
+        while inflight:
+            fetched = jax.device_get(inflight.popleft())
+            meters.update({k: float(v) for k, v in fetched.items()})
 
         if profiling:
             jax.block_until_ready(state.params)

@@ -74,14 +74,15 @@ def _pop_common(kw: dict) -> dict:
     # ViT family via vit_kwargs (non-ViT models just drop them):
     # - with_autocast (torch.cuda.amp, base_update.py autocast blocks) →
     #   bf16 compute policy (MXU peak path);
-    # - unfrozen backbones → scanned-block remat with the "dots" policy, the
-    #   measured throughput/HBM sweet spot for full fine-tuning (BASELINE.md)
+    # - unfrozen backbones → scanned-block remat with the "dots_no_batch"
+    #   policy, the measured throughput/HBM sweet spot for full fine-tuning
+    #   (BASELINE.md: 335 img/s / 25.0% MFU vs 309 for "dots" at batch 48)
     vit_kw = dict(kw.get("vit_kwargs") or {})
     if autocast:
         vit_kw.setdefault("dtype", "bfloat16")
     if kw.get("frozen_backbone") is False:
         vit_kw.setdefault("remat_blocks", True)
-        vit_kw.setdefault("remat_policy", "dots")
+        vit_kw.setdefault("remat_policy", "dots_no_batch")
     if vit_kw:
         kw["vit_kwargs"] = vit_kw
     return kw
