@@ -129,7 +129,8 @@ def main():
     parser.add_argument("--sub-batch", type=int, default=None,
                         help="remat+scan micro-batching size")
     parser.add_argument("--remat-policy", default=None,
-                        choices=["nothing", "dots", "dots_no_batch"],
+                        choices=["nothing", "dots", "dots_no_batch",
+                                 "everything"],
                         help="selective checkpointing policy for scanned blocks")
     parser.add_argument("--fused-qkv", action="store_true",
                         help="single fused QKV matmul in attention")

@@ -294,6 +294,9 @@ class VisionTransformer(nn.Module):
                     "dots": jax.checkpoint_policies.dots_saveable,
                     "dots_no_batch":
                         jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    # save ALL residuals (zero recompute) — only fits small
+                    # batches; lets the batch-vs-recompute tradeoff be swept
+                    "everything": jax.checkpoint_policies.everything_saveable,
                 }
                 step_cls = nn.remat(BlockStep, prevent_cse=False,
                                     policy=policies[self.remat_policy])
