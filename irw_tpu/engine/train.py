@@ -144,39 +144,54 @@ def train(
     # mesh parallelism: with >1 device, shard every batch over the "data"
     # axis (XLA inserts the gradient psums); `experience.model_parallel` > 1
     # additionally splits attention heads / MLP hidden over a "model" axis
-    # (Megatron-style specs, parallel/tp.py) — params, Adam moments and the
-    # matching activations get tensor-sharded, the rest replicated
+    # (Megatron-style specs, parallel/tp.py); `experience.band_parallel` > 1
+    # shards the vmapped subband-branch stack over a "band" axis
+    # (parallel/band.py: branch compute stays band-local, one all_gather at
+    # the fusion head) — params, Adam moments and the matching activations
+    # get sharded, the rest replicated
     mesh = None
     if exp.get("use_mesh", True) and jax.device_count() > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from irw_tpu.parallel import make_mesh, make_mesh_2d, tp_shardings
+        from irw_tpu.parallel import (
+            make_mesh,
+            make_mesh_3d,
+            mesh_shardings,
+            validate_band_divisibility,
+            validate_tp_divisibility,
+        )
 
         n_dev = jax.device_count()
         mp = int(exp.get("model_parallel", 1) or 1)
-        if mp > 1:
-            if n_dev % mp:
-                LOGGER.warning(
-                    f"model_parallel={mp} does not divide {n_dev} devices — "
-                    "falling back to pure data parallelism")
-                mp = 1
-            else:
-                from irw_tpu.parallel import validate_tp_divisibility
-
-                mesh = make_mesh_2d(model_parallel=mp)
-                try:
+        bp = int(exp.get("band_parallel", 1) or 1)
+        if (mp > 1 or bp > 1) and n_dev % (mp * bp):
+            LOGGER.warning(
+                f"band_parallel×model_parallel={bp}×{mp} does not divide "
+                f"{n_dev} devices — falling back to pure data parallelism")
+            mp = bp = 1
+        if mp > 1 or bp > 1:
+            mesh = make_mesh_3d(band_parallel=bp, model_parallel=mp)
+            try:
+                if mp > 1:
                     validate_tp_divisibility(state.params, mesh)
-                except ValueError as exc:
-                    LOGGER.warning(f"tensor parallelism disabled: {exc}")
-                    mesh, mp = None, 1
+                if bp > 1:
+                    validate_band_divisibility(state.params, mesh)
+            except ValueError as exc:
+                LOGGER.warning(f"model/band parallelism disabled: {exc}")
+                mesh, mp, bp = None, 1, 1
         if mesh is None:
             mesh = make_mesh()
         repl = NamedSharding(mesh, P())  # used for hyperparams each step
-        if mp > 1:
-            state = jax.device_put(state, tp_shardings(state, mesh))
+        if mp > 1 or bp > 1:
+            state = jax.device_put(
+                state,
+                mesh_shardings(state, mesh,
+                               band_axis="band" if bp > 1 else None,
+                               model_axis="model" if mp > 1 else None))
             LOGGER.info(
-                f"training over {n_dev} devices: data={mesh.shape['data']} "
-                f"× model={mesh.shape['model']} (tensor parallel)")
+                f"training over {n_dev} devices: data={mesh.shape['data']}"
+                + (f" × band={bp}" if bp > 1 else "")
+                + (f" × model={mp} (tensor parallel)" if mp > 1 else ""))
         else:
             state = jax.device_put(state, NamedSharding(mesh, P()))
             LOGGER.info(f"training data-parallel over {n_dev} devices")

@@ -7,10 +7,16 @@ one ``jax.sharding.Mesh`` over all chips, batch-sharded train/eval steps,
 collectives), and a gallery-sharded distance matrix for evaluation.
 """
 
+from irw_tpu.parallel.band import (
+    band_tp_leaf_spec,
+    mesh_shardings,
+    validate_band_divisibility,
+)
 from irw_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     make_mesh_2d,
+    make_mesh_3d,
     pad_to_multiple,
     replicated,
     shard_batch,
@@ -25,6 +31,7 @@ from irw_tpu.parallel.tp import (
 __all__ = [
     "make_mesh",
     "make_mesh_2d",
+    "make_mesh_3d",
     "batch_sharding",
     "replicated",
     "shard_batch",
@@ -33,4 +40,7 @@ __all__ = [
     "tp_leaf_spec",
     "tp_shardings",
     "validate_tp_divisibility",
+    "band_tp_leaf_spec",
+    "mesh_shardings",
+    "validate_band_divisibility",
 ]

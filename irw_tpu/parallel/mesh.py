@@ -31,6 +31,21 @@ def make_mesh_2d(devices=None, model_parallel: int = 1,
     return Mesh(grid, axis_names)
 
 
+def make_mesh_3d(devices=None, band_parallel: int = 1, model_parallel: int = 1,
+                 axis_names=("data", "band", "model")) -> Mesh:
+    """A (data × band × model) mesh.  The trailing axes are ICI-adjacent:
+    tensor-parallel psums ride the shortest links, the band all_gather the
+    next ring out, and data-parallel gradient psums the remainder."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    inner = band_parallel * model_parallel
+    if n % inner != 0:
+        raise ValueError(
+            f"{n} devices not divisible by band_parallel×model_parallel={inner}")
+    grid = np.asarray(devices).reshape(n // inner, band_parallel, model_parallel)
+    return Mesh(grid, axis_names)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over the mesh."""
     return NamedSharding(mesh, P(axis_name))
@@ -53,9 +68,14 @@ def pad_to_multiple(array, multiple: int, axis: int = 0):
 
 def shard_train_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     """Shard a training batch (leading axis) over the mesh — no padding:
-    the batch size must divide the mesh (losses must not see pad rows)."""
+    the batch size must divide the mesh (losses must not see pad rows).
+
+    When the mesh carries a live ``band`` axis (band parallelism,
+    parallel/band.py), subband image stacks (B, S, H, W, C) are co-sharded
+    on their band dimension so each shard feeds its local branch."""
     n_shards = mesh.shape[axis_name]  # only the batch axis's mesh extent matters
     sharding = batch_sharding(mesh, axis_name)
+    band_n = dict(zip(mesh.axis_names, mesh.devices.shape)).get("band", 1)
     out = {}
     for key, value in batch.items():
         value = np.asarray(value)
@@ -63,7 +83,11 @@ def shard_train_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
             f"train batch dim {value.shape[0]} not divisible by mesh axis "
             f"{axis_name}={n_shards}"
         )
-        out[key] = jax.device_put(value, sharding)
+        if band_n > 1 and value.ndim >= 5 and value.shape[1] % band_n == 0:
+            out[key] = jax.device_put(
+                value, NamedSharding(mesh, P(axis_name, "band")))
+        else:
+            out[key] = jax.device_put(value, sharding)
     return out
 
 

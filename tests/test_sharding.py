@@ -229,3 +229,146 @@ def test_tp_specs_shard_expected_leaves(devices):
     assert any("Mlp_0/Dense_1/kernel" in p for p in sharded)
     assert not any("norm" in p.lower() for p in sharded)
     assert not any("pos_embed" in p or "cls_token" in p for p in sharded)
+
+
+def test_band_specs_shard_expected_leaves(devices):
+    """Band specs put the vmapped branch stack's leading axis on "band"
+    (composing with tp on trailing axes); the fusion head and hash head
+    stay replicated."""
+    import __graft_entry__ as g
+    from irw_tpu.parallel import make_mesh_3d, mesh_shardings
+
+    model = g._flagship("vit_tiny", nbits=16, embed_dim=64, num_heads=2)
+    variables = jax.eval_shape(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+             "band_drop": jax.random.PRNGKey(2)},
+            jnp.zeros((1, 4, 32, 32, 3), jnp.float32), train=True))
+    mesh = make_mesh_3d(jax.devices(), band_parallel=2, model_parallel=2)
+    shardings = mesh_shardings(variables["params"], mesh,
+                               band_axis="band", model_axis="model")
+    flat = {"/".join(str(getattr(k, "key", k)) for k in path): s.spec
+            for path, s in jax.tree_util.tree_flatten_with_path(shardings)[0]}
+    banded = {p for p, spec in flat.items() if len(spec) and spec[0] == "band"}
+    assert any("VmapVisionTransformer" in p for p in banded)
+    # every vmapped leaf is band-sharded; nothing outside the stack is
+    for p, spec in flat.items():
+        if "Vmap" in p:
+            assert spec[0] == "band", p
+        else:
+            assert not any(ax == "band" for ax in spec), p
+    # band and tensor parallelism compose on the same leaf
+    qk = next(p for p in flat if "attn/query/kernel" in p and "Vmap" in p)
+    assert flat[qk][0] == "band" and any(ax == "model" for ax in flat[qk])
+
+
+def test_band_parallel_step_matches_data_parallel(devices, rng):
+    """One train step on a (data4 × band2) mesh (parallel/band.py: branch
+    params/compute band-local, fusion-head all_gather inserted by XLA)
+    equals the replicated-params step."""
+    import optax
+
+    import __graft_entry__ as g
+    from irw_tpu.engine.optimizers import build_optimizers
+    from irw_tpu.engine.train import _build_hyper
+    from irw_tpu.engine.train_step import build_train_step
+    from irw_tpu.getter import init_train_state
+    from irw_tpu.losses import build_losses
+    from irw_tpu.parallel import (
+        make_mesh,
+        make_mesh_3d,
+        mesh_shardings,
+        validate_band_divisibility,
+    )
+
+    model = g._flagship("vit_tiny", nbits=16, embed_dim=64, num_heads=2)
+    losses = build_losses([{"name": "HashLoss", "weight": 1.0,
+                            "kwargs": {"num_classes": 4, "embedding_size": 16}}])
+    loss_tx = optax.adamw(1e-3)
+    bs = 8
+    batch = {"image": rng.rand(bs, 4, 32, 32, 3).astype(np.float32),
+             "label": np.arange(bs) % 4, "index": np.arange(bs)}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)},
+        jnp.asarray(batch["image"]), train=True)
+    entries = build_optimizers([{"name": "AdamW", "params": None,
+                                 "kwargs": {"lr": 1e-3}}], variables["params"])
+    state = init_train_state(model, losses, entries, loss_tx, batch, seed=0)
+    step = build_train_step(model, losses, entries, loss_tx, clip_grad=5.0)
+    hyper = _build_hyper(entries, epoch=1, step=0, warm_up=0, warm_up_key=None)
+
+    def run(band: bool):
+        if band:
+            mesh = make_mesh_3d(jax.devices(), band_parallel=2)
+            validate_band_divisibility(state.params, mesh)
+            st_shard = mesh_shardings(state, mesh, band_axis="band")
+            data = NamedSharding(mesh, P("data"))
+            img = NamedSharding(mesh, P("data", "band"))
+        else:
+            mesh = make_mesh(jax.devices())
+            st_shard = NamedSharding(mesh, P())
+            data = img = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        st = jax.device_put(state, st_shard)
+        b = {k: jax.device_put(np.asarray(v), img if k == "image" else data)
+             for k, v in batch.items()}
+        hy = jax.device_put(hyper, repl)
+        jitted = jax.jit(step, in_shardings=(st_shard, b_shardings(b, img, data), repl),
+                         out_shardings=(st_shard, repl))
+        new_state, metrics = jitted(st, b, hy)
+        return float(metrics["total_loss"]), new_state
+
+    def b_shardings(b, img, data):
+        return {k: (img if k == "image" else data) for k in b}
+
+    loss_dp, s_dp = run(band=False)
+    loss_bp, s_bp = run(band=True)
+    assert abs(loss_dp - loss_bp) < 1e-4
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_dp.params, s_bp.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
+
+
+def test_train_loop_band_parallel(devices, tmp_path, rng):
+    """The epoch loop wires experience.band_parallel=2 into a
+    (data4 × band2) mesh end-to-end (engine/train.py mesh block)."""
+    import optax
+
+    import __graft_entry__ as g
+    from irw_tpu.data import SyntheticDataset
+    from irw_tpu.engine.optimizers import build_optimizers
+    from irw_tpu.engine.train import train
+    from irw_tpu.getter import Getter, init_train_state
+    from irw_tpu.losses import build_losses
+    from irw_tpu.samplers import RandomSampler
+
+    dataset = SyntheticDataset(num_samples=32, num_classes=4, image_size=32, seed=0)
+    (host_t, device_t), _ = Getter().get_transform(
+        {"train": {"Resize": {"size": 32}, "SWTTransform": {"level": 1, "wavelet": "haar"}},
+         "test": {"Resize": {"size": 32}, "SWTTransform": {"level": 1, "wavelet": "haar"}}}
+    )
+    model = g._flagship("vit_tiny", nbits=8, embed_dim=64, num_heads=2)
+    losses = build_losses([{"name": "HashLoss", "weight": 1.0,
+                            "kwargs": {"num_classes": 4, "embedding_size": 8}}])
+    sampler = RandomSampler(dataset, batch_size=16, seed=0)
+    sampler.reshuffle(0)
+    np_rng = np.random.RandomState(0)
+    idx = sampler.batches[0]
+    batch = {"image": np.stack([host_t(dataset.load_image(int(i)), np_rng, True) for i in idx]),
+             "label": dataset.labels[idx], "index": np.asarray(idx)}
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True)
+    entries = build_optimizers([{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}],
+                               variables["params"])
+    state = init_train_state(model, losses, entries, optax.adamw(1e-3), batch,
+                             device_transform=device_t)
+    config = {"experience": {"max_iter": 1, "train_eval_freq": 1, "eval_bs": 32,
+                             "num_workers": 0, "distance_metric": "hamming",
+                             "use_mesh": True, "seed": 0, "band_parallel": 2}}
+    state, metrics = train(model, state, losses, entries, optax.adamw(1e-3),
+                           dataset, sampler, {"test": dataset}, host_t, device_t,
+                           config, str(tmp_path))
+    assert "map_level0" in metrics["test"]
