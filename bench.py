@@ -145,12 +145,12 @@ def main():
                           "benchmarks", "train_bench.py"))
         tb = _ilu.module_from_spec(spec)
         spec.loader.exec_module(tb)
-        # batch 48 + selective remat ("dots": matmul outputs stay resident,
-        # backward recomputes only the elementwise chain) is the measured
-        # throughput knee — see BASELINE.md round-2 table
+        # batch 48 + selective remat ("dots_no_batch": non-batch matmul
+        # outputs stay resident, backward recomputes only the elementwise
+        # chain) is the measured throughput knee — BASELINE.md round-2 table
         t_batch = 48
         step, t_state, t_batch_data, t_entries = tb.build(
-            t_batch, frozen=False, remat_policy="dots")
+            t_batch, frozen=False, remat_policy="dots_no_batch")
         dt, _, _ = tb.measure(step, t_state, t_batch_data, t_entries, t_batch,
                               iters=5)
         train_ips = t_batch / dt

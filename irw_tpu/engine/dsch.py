@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from irw_tpu.engine.checkpoint import save_checkpoint
+from irw_tpu.engine.checkpoint import save_checkpoint, wait_for_checkpoints
 from irw_tpu.engine.evaluate import evaluate
 from irw_tpu.engine.train import MetricsLogger, _build_hyper
 from irw_tpu.engine.train_step import build_train_step
@@ -163,11 +163,13 @@ def train_dsch(
                 best_score = score
                 best_state = jax.device_get(state)
             save_checkpoint(log_dir, state, dict(config), epoch, score=score,
-                            best_score=best_score)
+                            best_score=best_score,
+                            async_save=bool(exp.get("async_checkpoint", True)))
             if stopper.update(score):
                 LOGGER.info(f"[dsch] early stop at epoch {epoch} (patience {patience})")
                 break
 
+    wait_for_checkpoints()
     if best_state is not None:
         state = jax.tree_util.tree_map(jnp.asarray, best_state)
     return state, metrics_by_split

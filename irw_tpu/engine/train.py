@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from irw_tpu.engine.batch_map import build_fast_eval_subset
-from irw_tpu.engine.checkpoint import save_checkpoint
+from irw_tpu.engine.checkpoint import save_checkpoint, wait_for_checkpoints
 from irw_tpu.engine.evaluate import evaluate
 from irw_tpu.engine.train_step import build_train_step
 from irw_tpu.data.loader import EpochLoader
@@ -369,6 +369,8 @@ def train(
             score=score,
             best_score=best_score if best_score > -float("inf") else None,
             save_model_every=save_model_every,
+            async_save=bool(exp.get("async_checkpoint", True)),
         )
 
+    wait_for_checkpoints()  # commit the final rolling save before returning
     return state, metrics_by_split

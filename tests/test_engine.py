@@ -354,6 +354,15 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     for a, b in zip(orig, back):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # async save: immediate load barriers on the in-flight write and sees
+    # the new epoch, never a half-written checkpoint
+    save_checkpoint(str(tmp_path), state, {"a": 2}, epoch=4, score=0.6,
+                    async_save=True)
+    restored2, meta2 = load_checkpoint(str(tmp_path))
+    assert meta2["epoch"] == 4 and meta2["config"] == {"a": 2}
+    for a, b in zip(orig, jax.tree_util.tree_leaves(restored2["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_splits():
     from irw_tpu.engine.splits import get_splits
