@@ -43,7 +43,7 @@ class EpochLoader:
         train: bool = True,
         seed: int = 0,
         native: bool | str = "auto",
-        native_fast_scale: bool = True,
+        native_fast_scale: bool | None = None,
     ):
         self.dataset = dataset
         self.batches = list(batches)
@@ -53,7 +53,12 @@ class EpochLoader:
         self.train = train
         self.seed = seed
         self.native = native
-        self.native_fast_scale = native_fast_scale
+        # DCT-scaled JPEG decode changes pixels by a few LSB vs PIL:
+        # augmentation-grade, so default ON for training only — eval
+        # embeddings stay bit-comparable with the PIL path (and with
+        # checkpoints/baselines measured through it)
+        self.native_fast_scale = (
+            train if native_fast_scale is None else native_fast_scale)
         self._native_ok: bool | None = None
 
     def __len__(self):
@@ -101,12 +106,16 @@ class EpochLoader:
             steps_list.append(steps)
         if out_size is None:
             return None
+        # thread accounting: with the prefetching Python pool active
+        # (num_workers > 0), up to num_workers batches decode concurrently —
+        # one C++ thread per call keeps the total at num_workers instead of
+        # num_workers²; the serial iterator gets the full hardware pool
         images, status = nat.load_batch(
             paths,
             [nat.pack_plan(s) for s in steps_list],
             out_size[0],
             out_size[1],
-            n_threads=max(self.num_workers, 1),
+            n_threads=1 if self.num_workers > 0 else 0,
             fast_scale=self.native_fast_scale,
         )
         for j in np.nonzero(status)[0]:

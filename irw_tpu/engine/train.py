@@ -170,15 +170,23 @@ def train(
                 f"{n_dev} devices — falling back to pure data parallelism")
             mp = bp = 1
         if mp > 1 or bp > 1:
+            # validate the two axes independently: a model without a band
+            # stack must not cost the user their (valid) tensor parallelism
             mesh = make_mesh_3d(band_parallel=bp, model_parallel=mp)
-            try:
-                if mp > 1:
+            if mp > 1:
+                try:
                     validate_tp_divisibility(state.params, mesh)
-                if bp > 1:
+                except ValueError as exc:
+                    LOGGER.warning(f"tensor parallelism disabled: {exc}")
+                    mp = 1
+            if bp > 1:
+                try:
                     validate_band_divisibility(state.params, mesh)
-            except ValueError as exc:
-                LOGGER.warning(f"model/band parallelism disabled: {exc}")
-                mesh, mp, bp = None, 1, 1
+                except ValueError as exc:
+                    LOGGER.warning(f"band parallelism disabled: {exc}")
+                    bp = 1
+            mesh = (make_mesh_3d(band_parallel=bp, model_parallel=mp)
+                    if mp > 1 or bp > 1 else None)
         if mesh is None:
             mesh = make_mesh()
         repl = NamedSharding(mesh, P())  # used for hyperparams each step

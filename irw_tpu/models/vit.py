@@ -84,14 +84,22 @@ class _Proj(nn.Module):
     """Parameter holder shaped exactly like flax DenseGeneral's leaves, so a
     fused-QKV attention keeps the MultiHeadDotProductAttention param tree
     (query/key/value/out × kernel/bias) — converted torch weights and the
-    tensor-parallel specs (parallel/tp.py) apply unchanged."""
+    tensor-parallel specs (parallel/tp.py) apply unchanged.  in_axis/out_axis
+    reproduce DenseGeneral's fan computation (fan-in = the flattened input
+    dims, e.g. D for a (D, H, hd) kernel — NOT the default trailing-axes
+    convention, which would inflate init variance by D/H)."""
 
     shape: tuple  # kernel shape, e.g. (D, H, hd)
     bias_shape: tuple
+    in_axis: tuple = (0,)
+    out_axis: tuple = (1, 2)
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        init = nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal",
+            in_axis=self.in_axis, out_axis=self.out_axis)
+        kernel = self.param("kernel", init, self.shape)
         bias = self.param("bias", nn.initializers.zeros, self.bias_shape)
         return kernel, bias
 
@@ -120,7 +128,8 @@ class FusedMHA(nn.Module):
         qk, qb = _Proj((d, h, hd), (h, hd), name="query")()
         kk, kb = _Proj((d, h, hd), (h, hd), name="key")()
         vk, vb = _Proj((d, h, hd), (h, hd), name="value")()
-        ok, ob = _Proj((h, hd, d), (d,), name="out")()
+        ok, ob = _Proj((h, hd, d), (d,), in_axis=(0, 1), out_axis=(2,),
+                       name="out")()
         w_qkv = jnp.concatenate(
             [t.reshape(d, h * hd) for t in (qk, kk, vk)], axis=1
         ).astype(self.dtype)

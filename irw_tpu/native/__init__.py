@@ -49,46 +49,54 @@ def get_lib():
             lib = ctypes.CDLL(path)
         except OSError:
             return None
-        lib.irw_image_size.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.irw_image_size.restype = ctypes.c_int
-        lib.irw_decode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int,
-            ctypes.c_int,
-        ]
-        lib.irw_decode.restype = ctypes.c_int
-        lib.irw_load_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p),
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.irw_load_batch.restype = None
-        lib.irw_resize.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-        ]
-        lib.irw_resize.restype = ctypes.c_int
+        try:
+            _bind(lib)
+        except (AttributeError, OSError):
+            return None  # stale/incompatible library: fall back to PIL
         if lib.irw_abi_version() != 1:
             return None
         _lib = lib
         return _lib
+
+
+def _bind(lib) -> None:
+    lib.irw_image_size.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.irw_image_size.restype = ctypes.c_int
+    lib.irw_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.irw_decode.restype = ctypes.c_int
+    lib.irw_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.irw_load_batch.restype = None
+    lib.irw_resize.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.irw_resize.restype = ctypes.c_int
+    lib.irw_abi_version.restype = ctypes.c_int
 
 
 def available() -> bool:

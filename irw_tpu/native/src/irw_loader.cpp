@@ -38,6 +38,10 @@ struct ImageU8 {
   int w = 0, h = 0;
 };
 
+// Pathological headers (e.g. a valid JPEG header claiming 65500x65500)
+// must degrade to a per-sample status, not abort the process.
+constexpr long kMaxPixels = 100L * 1000 * 1000;  // 100 MP ≈ 300 MB RGB
+
 // ---------------------------------------------------------------- jpeg
 struct JpegErr {
   jpeg_error_mgr pub;
@@ -74,6 +78,11 @@ int decode_jpeg(const uint8_t* buf, size_t len, ImageU8& out, int min_w = 0,
     return 2;
   }
   cinfo.out_color_space = JCS_RGB;  // libjpeg converts gray/YCbCr -> RGB
+  if (static_cast<long>(cinfo.image_width) *
+          static_cast<long>(cinfo.image_height) > kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;  // absurd claimed dims: let PIL decide
+  }
   if (min_w > 0 && min_h > 0) {
     cinfo.scale_denom = 8;
     for (unsigned m = 1; m <= 8; ++m) {
@@ -157,6 +166,10 @@ int decode_png(const uint8_t* buf, size_t len, ImageU8& out) {
   int bit_depth, color_type;
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
                nullptr);
+  if (static_cast<long>(w) * static_cast<long>(h) > kMaxPixels) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return 2;
+  }
   // normalize everything to 8-bit RGB
   if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
@@ -196,7 +209,7 @@ int decode_any(const uint8_t* buf, size_t len, ImageU8& out, int min_w = 0,
   return 2;  // unknown container -> PIL fallback
 }
 
-int read_file(const char* path, std::vector<uint8_t>& buf) {
+int read_file(const char* path, std::vector<uint8_t>& buf, long max_bytes = 0) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
   std::fseek(f, 0, SEEK_END);
@@ -205,6 +218,7 @@ int read_file(const char* path, std::vector<uint8_t>& buf) {
     std::fclose(f);
     return 1;
   }
+  if (max_bytes > 0 && sz > max_bytes) sz = max_bytes;  // header probe
   std::fseek(f, 0, SEEK_SET);
   buf.resize(static_cast<size_t>(sz));
   size_t got = sz ? std::fread(buf.data(), 1, static_cast<size_t>(sz), f) : 0;
@@ -314,13 +328,15 @@ void resize_aa(const ImageU8& src, int dw, int dh, int filter, ImageU8& dst) {
   }
 }
 
-void crop(const ImageU8& src, int left, int top, int cw, int ch, ImageU8& dst) {
-  // PIL .crop clamps implicitly by zero-filling out-of-bounds; our planner
-  // only emits in-bounds boxes, but clamp defensively.
+int crop(const ImageU8& src, int left, int top, int cw, int ch, ImageU8& dst) {
+  // The planner only emits in-bounds boxes (it computes them from the real
+  // header dims), but clamp defensively; a degenerate result is an error
+  // status, not UB.
   if (left < 0) left = 0;
   if (top < 0) top = 0;
   if (left + cw > src.w) cw = src.w - left;
   if (top + ch > src.h) ch = src.h - top;
+  if (cw <= 0 || ch <= 0) return 1;
   dst.w = cw;
   dst.h = ch;
   dst.data.resize(static_cast<size_t>(cw) * ch * 3);
@@ -329,6 +345,7 @@ void crop(const ImageU8& src, int left, int top, int cw, int ch, ImageU8& dst) {
                 src.data.data() +
                     (static_cast<size_t>(y + top) * src.w + left) * 3,
                 static_cast<size_t>(cw) * 3);
+  return 0;
 }
 
 void hflip(ImageU8& img) {
@@ -356,7 +373,8 @@ int run_plan(ImageU8& img, const int32_t* plan, int stride) {
     if (op == OP_END) break;
     if (op == OP_CROP) {
       ImageU8 out;
-      crop(img, plan[i + 1], plan[i + 2], plan[i + 3], plan[i + 4], out);
+      if (crop(img, plan[i + 1], plan[i + 2], plan[i + 3], plan[i + 4], out))
+        return 1;
       img = std::move(out);
     } else if (op == OP_RESIZE) {
       if (plan[i + 1] != img.w || plan[i + 2] != img.h) {
@@ -402,10 +420,16 @@ extern "C" {
 // Decode path -> RGB8 into caller buffer sized w*h*3 (query size first).
 // rc: 0 ok, 1 error, 2 unsupported-format (caller should use PIL).
 int irw_image_size(const char* path, int* w, int* h) {
+  // Header probe: read a bounded prefix, not the whole file (headers sit in
+  // the first bytes; EXIF blobs can push a JPEG SOF out, so fall back to a
+  // full read only if the prefix parse fails).
   std::vector<uint8_t> buf;
-  if (read_file(path, buf)) return 1;
-  if (is_jpeg(buf.data(), buf.size()))
+  if (read_file(path, buf, 256 * 1024)) return 1;
+  if (is_jpeg(buf.data(), buf.size())) {
+    if (jpeg_header_size(buf.data(), buf.size(), w, h) == 0) return 0;
+    if (read_file(path, buf)) return 1;
     return jpeg_header_size(buf.data(), buf.size(), w, h);
+  }
   if (is_png(buf.data(), buf.size())) {
     if (buf.size() < 24) return 1;
     // IHDR is always first: width/height big-endian at offsets 16/20
@@ -448,9 +472,16 @@ void irw_load_batch(const char** paths, int n, const int32_t* plans,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      status[i] = load_one(paths[i], plans + static_cast<size_t>(i) * plan_stride,
-                           plan_stride, out_w, out_h, fast_scale,
-                           out + sample_sz * i);
+      // an exception (bad_alloc on a hostile image, length_error) must
+      // become a per-sample status — never std::terminate the process
+      try {
+        status[i] = load_one(paths[i],
+                             plans + static_cast<size_t>(i) * plan_stride,
+                             plan_stride, out_w, out_h, fast_scale,
+                             out + sample_sz * i);
+      } catch (...) {
+        status[i] = 1;
+      }
     }
   };
   if (n_threads <= 1) {
