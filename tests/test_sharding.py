@@ -372,3 +372,50 @@ def test_train_loop_band_parallel(devices, tmp_path, rng):
                            dataset, sampler, {"test": dataset}, host_t, device_t,
                            config, str(tmp_path))
     assert "map_level0" in metrics["test"]
+
+
+def test_band_parallel_fallback_keeps_tp(devices, tmp_path, rng):
+    """band_parallel on a model with no Vmap band stack falls back cleanly
+    WITHOUT dropping the (valid) tensor parallelism the user also asked
+    for (engine/train.py validates the two axes independently)."""
+    import optax
+
+    from irw_tpu.data import SyntheticDataset
+    from irw_tpu.engine.optimizers import build_optimizers
+    from irw_tpu.engine.train import train
+    from irw_tpu.getter import Getter, init_train_state
+    from irw_tpu.losses import build_losses
+    from irw_tpu.models import get_model
+    from irw_tpu.samplers import RandomSampler
+
+    dataset = SyntheticDataset(num_samples=32, num_classes=4, image_size=32, seed=0)
+    (host_t, device_t), _ = Getter().get_transform(
+        {"train": {"Resize": {"size": 32}, "CustomTransform": {"decompose_levels": 1}},
+         "test": {"Resize": {"size": 32}, "CustomTransform": {"decompose_levels": 1}}}
+    )
+    model = get_model("single_band_net", backbone="vit_tiny", nbits=8,
+                      frozen_backbone=False)
+    losses = build_losses([{"name": "HashLoss", "weight": 1.0,
+                            "kwargs": {"num_classes": 4, "embedding_size": 8}}])
+    sampler = RandomSampler(dataset, batch_size=16, seed=0)
+    sampler.reshuffle(0)
+    np_rng = np.random.RandomState(0)
+    idx = sampler.batches[0]
+    batch = {"image": np.stack([host_t(dataset.load_image(int(i)), np_rng, True) for i in idx]),
+             "label": dataset.labels[idx], "index": np.asarray(idx)}
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True)
+    entries = build_optimizers([{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}],
+                               variables["params"])
+    state = init_train_state(model, losses, entries, optax.adamw(1e-3), batch,
+                             device_transform=device_t)
+    config = {"experience": {"max_iter": 1, "train_eval_freq": 1, "eval_bs": 32,
+                             "num_workers": 0, "distance_metric": "hamming",
+                             "use_mesh": True, "seed": 0,
+                             "band_parallel": 2, "model_parallel": 2}}
+    state, metrics = train(model, state, losses, entries, optax.adamw(1e-3),
+                           dataset, sampler, {"test": dataset}, host_t, device_t,
+                           config, str(tmp_path))
+    assert "map_level0" in metrics["test"]
