@@ -52,8 +52,14 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from jax.ad_checkpoint import checkpoint_name
+
         x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=not self.exact_gelu)
+        # name the activation so selective-remat policies can pin it
+        # (vit.py "dots_no_batch_gelu": the transcendental is the costly
+        # part of the elementwise recompute chain); identity outside remat
+        x = checkpoint_name(x, "mlp_act")
         x = nn.Dense(self.out_dim, dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x

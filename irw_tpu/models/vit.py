@@ -303,6 +303,15 @@ class VisionTransformer(nn.Module):
                     "dots": jax.checkpoint_policies.dots_saveable,
                     "dots_no_batch":
                         jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    # dots_no_batch + pin the tagged GELU output (layers.py
+                    # "mlp_act"): skips the transcendental recompute in
+                    # backward for ~150 MB/block of residents
+                    "dots_no_batch_gelu":
+                        jax.checkpoint_policies.save_from_both_policies(
+                            jax.checkpoint_policies
+                            .dots_with_no_batch_dims_saveable,
+                            jax.checkpoint_policies.save_only_these_names(
+                                "mlp_act")),
                     # save ALL residuals (zero recompute) — only fits small
                     # batches; lets the batch-vs-recompute tradeoff be swept
                     "everything": jax.checkpoint_policies.everything_saveable,
