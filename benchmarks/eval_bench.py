@@ -18,8 +18,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-query", type=int, default=5717)
+    ap.add_argument("--n-gallery", type=int, default=5717)
+    ap.add_argument("--classes", type=int, default=20)
+    args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -27,7 +35,7 @@ def main():
     from bench import build_pipeline
     from irw_tpu.ops.metrics import compute_retrieval_metrics
 
-    n, batch = 5717, 64
+    nq, ng, batch = args.n_query, args.n_gallery, 64
     model, pipeline = build_pipeline()
     rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
             "band_drop": jax.random.PRNGKey(2)}
@@ -40,7 +48,7 @@ def main():
         imgs = jax.random.randint(key, (batch, 224, 224, 3), 0, 255, jnp.int32).astype(jnp.uint8)
         return pipeline(v, imgs)
 
-    def embed_set(seed):
+    def embed_set(seed, n):
         keys = jax.random.split(jax.random.PRNGKey(seed), -(-n // batch))
         chunks = [embed_chunk(variables, k) for k in keys]
         return jnp.concatenate(chunks, axis=0)[:n]
@@ -48,19 +56,19 @@ def main():
     np.asarray(embed_chunk(variables, jax.random.PRNGKey(9)))  # compile
 
     rng = np.random.RandomState(0)
-    q_labels = (rng.rand(n, 20) > 0.85).astype(np.float32)
-    g_labels = (rng.rand(n, 20) > 0.85).astype(np.float32)
+    q_labels = (rng.rand(nq, args.classes) > 0.85).astype(np.float32)
+    g_labels = (rng.rand(ng, args.classes) > 0.85).astype(np.float32)
 
     t0 = time.perf_counter()
-    q_codes = embed_set(1)
-    g_codes = embed_set(2)
+    q_codes = embed_set(1, nq)
+    g_codes = embed_set(2, ng)
     res = compute_retrieval_metrics(
         q_codes, jnp.asarray(q_labels), g_codes, jnp.asarray(g_labels),
-        metric="hamming", k=n, with_hashing_stats=True,
+        metric="hamming", k=ng, with_hashing_stats=True,
     )
     total = time.perf_counter() - t0
-    print(f"full VOC-scale eval (embed 2x{n} @224^2 + full metric suite): "
-          f"{total:.2f}s  (map={res['map']:.4f})")
+    print(f"full eval (embed {nq}+{ng} @224^2 + full metric suite, "
+          f"{args.classes} classes): {total:.2f}s  (map={res['map']:.4f})")
 
 
 if __name__ == "__main__":
