@@ -86,3 +86,19 @@ def test_export_from_run_checkpoint(tmp_path):
     variables = jax.tree_util.tree_map(jax.numpy.asarray, variables)
     ref = np.asarray(model.apply(variables, x, train=False)[0])
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_export_without_baked_weights(flagship, tmp_path):
+    """bake_weights=False exports call(variables, bands): tiny artifact,
+    weights passed at serve time, same outputs."""
+    from jax import export as jexport
+
+    model, variables, shape, x = flagship
+    out = str(tmp_path / "nobake.jaxexp")
+    export_model(model, variables, shape, out_path=out, bake_weights=False)
+    blob = open(out, "rb").read()
+    assert len(blob) < 5_000_000  # program only, no weight constants
+    fn = jexport.deserialize(blob).call
+    got = np.asarray(jax.jit(fn)(variables, x))
+    ref = np.asarray(model.apply(variables, x, train=False)[0])
+    np.testing.assert_array_equal(got, ref)

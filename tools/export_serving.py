@@ -46,22 +46,39 @@ def build_eval_fn(model, variables):
 
 
 def export_model(model, variables, input_shape, out_path: str | None = None,
-                 symbolic_batch: bool = True, platforms=("cpu", "tpu")):
+                 symbolic_batch: bool = True, platforms=("cpu", "tpu"),
+                 bake_weights: bool = True):
     """Serialize the eval forward; returns the jax.export.Exported object.
 
     input_shape: (S, H, W, C) per-sample subband-stack shape.  The default
     lowers for both cpu and tpu so one artifact serves either runtime.
+
+    bake_weights=True inlines the parameters as constants — a single
+    self-contained file (~param bytes).  bake_weights=False exports
+    ``call(variables, bands)`` instead: the artifact is a few MB of
+    program, weights travel separately (e.g. the orbax checkpoint) — the
+    right shape for large models and for transports that cap payload size.
     """
     import jax
     from jax import export as jexport
 
-    fn = build_eval_fn(model, variables)
     if symbolic_batch:
         (batch,) = jexport.symbolic_shape("b")
         spec = jax.ShapeDtypeStruct((batch, *input_shape), np.float32)
     else:
         spec = jax.ShapeDtypeStruct((1, *input_shape), np.float32)
-    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(spec)
+    if bake_weights:
+        fn = build_eval_fn(model, variables)
+        exported = jexport.export(jax.jit(fn), platforms=list(platforms))(spec)
+    else:
+        def fn(v, bands):
+            out, _aux = model.apply(v, bands, train=False)
+            return out
+
+        var_specs = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+        exported = jexport.export(jax.jit(fn), platforms=list(platforms))(
+            var_specs, spec)
     if out_path:
         with open(out_path, "wb") as f:
             f.write(exported.serialize())
@@ -97,6 +114,9 @@ def main():
     ap.add_argument("--height", type=int, default=112)
     ap.add_argument("--width", type=int, default=112)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--no-bake-weights", action="store_true",
+                    help="export call(variables, bands); weights travel "
+                         "separately (small artifact for big models)")
     args = ap.parse_args()
 
     import jax
@@ -115,7 +135,8 @@ def main():
                 "band_drop": jax.random.PRNGKey(2)}
         variables = jax.jit(lambda r, i: model.init(r, i, train=False))(rngs, x)
 
-    exported = export_model(model, variables, shape, out_path=args.out)
+    exported = export_model(model, variables, shape, out_path=args.out,
+                            bake_weights=not args.no_bake_weights)
     size = os.path.getsize(args.out)
     print(f"exported {exported.fun_name} -> {args.out} "
           f"({size / 1e6:.1f} MB, in {exported.in_avals}, "
