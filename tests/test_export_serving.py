@@ -73,7 +73,7 @@ def test_export_from_run_checkpoint(tmp_path):
     finally:
         sys.argv = argv_save
 
-    model, variables, config = _from_run(exp_dir)
+    model, variables, config, _device_eval = _from_run(exp_dir)
     size = int(config.transform.test.get("Resize", {}).get("size", 32))
     level_sizes = size  # dwt_small halves spatial dims per level
     # infer the subband input shape from the device transform contract
@@ -102,3 +102,22 @@ def test_export_without_baked_weights(flagship, tmp_path):
     got = np.asarray(jax.jit(fn)(variables, x))
     ref = np.asarray(model.apply(variables, x, train=False)[0])
     np.testing.assert_array_equal(got, ref)
+
+
+def test_export_with_device_transform(flagship, tmp_path):
+    """device_transform folds the SWT featurization into the program: the
+    artifact takes raw uint8 images and matches transform+apply."""
+    from jax import export as jexport
+
+    from irw_tpu.transforms.pipeline import DeviceTransform
+
+    model, variables, _, _ = flagship
+    dt = DeviceTransform([("SWTTransform", {"level": 1, "wavelet": "haar"})])
+    imgs = np.random.RandomState(3).randint(0, 256, (2, 32, 32, 3), np.uint8)
+    out = str(tmp_path / "pipe.jaxexp")
+    export_model(model, variables, (32, 32, 3), out_path=out,
+                 device_transform=dt, symbolic_batch=2)
+    fn = jexport.deserialize(open(out, "rb").read()).call
+    got = np.asarray(jax.jit(fn)(imgs))
+    ref = np.asarray(model.apply(variables, dt(imgs), train=False)[0])
+    np.testing.assert_allclose(got, ref, atol=1e-6)

@@ -47,7 +47,7 @@ def build_eval_fn(model, variables):
 
 def export_model(model, variables, input_shape, out_path: str | None = None,
                  symbolic_batch: bool = True, platforms=("cpu", "tpu"),
-                 bake_weights: bool = True):
+                 bake_weights: bool = True, device_transform=None):
     """Serialize the eval forward; returns the jax.export.Exported object.
 
     input_shape: (S, H, W, C) per-sample subband-stack shape.  The default
@@ -58,26 +58,53 @@ def export_model(model, variables, input_shape, out_path: str | None = None,
     ``call(variables, bands)`` instead: the artifact is a few MB of
     program, weights travel separately (e.g. the orbax checkpoint) — the
     right shape for large models and for transports that cap payload size.
+
+    device_transform folds the on-device featurization (e.g. the SWT
+    subband transform, irw_tpu.transforms.DeviceTransform) INTO the
+    program: the artifact then takes raw (B, H, W, 3) uint8 images —
+    input_shape becomes the per-sample image shape — and is the complete
+    serving pipeline.  Note: the fused Pallas wavelet kernels need
+    concrete dims, so pass symbolic_batch=False (a fixed serve batch)
+    when the transform uses them.
     """
     import jax
     from jax import export as jexport
 
-    if symbolic_batch:
-        (batch,) = jexport.symbolic_shape("b")
-        spec = jax.ShapeDtypeStruct((batch, *input_shape), np.float32)
-    else:
-        spec = jax.ShapeDtypeStruct((1, *input_shape), np.float32)
-    if bake_weights:
-        fn = build_eval_fn(model, variables)
-        exported = jexport.export(jax.jit(fn), platforms=list(platforms))(spec)
-    else:
-        def fn(v, bands):
-            out, _aux = model.apply(v, bands, train=False)
-            return out
+    from irw_tpu.transforms.pipeline import DeviceTransform
 
+    if device_transform is not None:
+        tf_ops = device_transform.ops
+
+        def featurize(x):
+            return DeviceTransform._apply(tf_ops, x)
+
+        in_dtype = np.uint8
+    else:
+        featurize = None
+        in_dtype = np.float32
+
+    if symbolic_batch is True:
+        (batch,) = jexport.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((batch, *input_shape), in_dtype)
+    else:
+        # symbolic_batch=False -> batch 1; an int fixes that batch size
+        fixed = 1 if symbolic_batch is False else int(symbolic_batch)
+        spec = jax.ShapeDtypeStruct((fixed, *input_shape), in_dtype)
+
+    def forward(v, x):
+        if featurize is not None:
+            x = featurize(x)
+        out, _aux = model.apply(v, x, train=False)
+        return out
+
+    if bake_weights:
+        exported = jexport.export(
+            jax.jit(lambda x: forward(variables, x)),
+            platforms=list(platforms))(spec)
+    else:
         var_specs = jax.tree_util.tree_map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
-        exported = jexport.export(jax.jit(fn), platforms=list(platforms))(
+        exported = jexport.export(jax.jit(forward), platforms=list(platforms))(
             var_specs, spec)
     if out_path:
         with open(out_path, "wb") as f:
@@ -97,11 +124,13 @@ def _from_run(run_dir: str):
         raise SystemExit(f"no rolling checkpoint under {run_dir}")
     state, meta = restored
     config = Config(meta["config"])
-    model = Getter().get_model(config.model)
+    getter = Getter()
+    model = getter.get_model(config.model)
+    _, (_, device_eval) = getter.get_transform(config.get("transform", {}))
     variables = {"params": state["params"]}
     if state.get("batch_stats"):
         variables["batch_stats"] = state["batch_stats"]
-    return model, variables, config
+    return model, variables, config, device_eval
 
 
 def main():
@@ -117,13 +146,26 @@ def main():
     ap.add_argument("--no-bake-weights", action="store_true",
                     help="export call(variables, bands); weights travel "
                          "separately (small artifact for big models)")
+    ap.add_argument("--with-transform", action="store_true",
+                    help="fold the run's eval DeviceTransform (SWT/DWT/"
+                         "normalize) into the program: the artifact takes "
+                         "raw (B, H, W, 3) uint8 images (requires --run; "
+                         "fixed batch = --serve-batch, the Pallas wavelet "
+                         "kernels need concrete dims)")
+    ap.add_argument("--serve-batch", type=int, default=64,
+                    help="fixed batch size for --with-transform artifacts")
     args = ap.parse_args()
 
     import jax
 
+    device_transform = None
     if args.run:
-        model, variables, _ = _from_run(args.run)
-        shape = (args.bands, args.height, args.width, 3)
+        model, variables, _, device_eval = _from_run(args.run)
+        if args.with_transform:
+            device_transform = device_eval
+            shape = (args.height, args.width, 3)
+        else:
+            shape = (args.bands, args.height, args.width, 3)
     else:
         from irw_tpu.models import get_model
 
@@ -135,8 +177,11 @@ def main():
                 "band_drop": jax.random.PRNGKey(2)}
         variables = jax.jit(lambda r, i: model.init(r, i, train=False))(rngs, x)
 
-    exported = export_model(model, variables, shape, out_path=args.out,
-                            bake_weights=not args.no_bake_weights)
+    exported = export_model(
+        model, variables, shape, out_path=args.out,
+        bake_weights=not args.no_bake_weights,
+        device_transform=device_transform,
+        symbolic_batch=True if device_transform is None else args.serve_batch)
     size = os.path.getsize(args.out)
     print(f"exported {exported.fun_name} -> {args.out} "
           f"({size / 1e6:.1f} MB, in {exported.in_avals}, "
