@@ -151,3 +151,55 @@ class ImageNet100Hashing(BaseDataset):
                 paths.append(os.path.join(data_dir, parts[0]))
                 labels.append(int(parts[1]))
         super().__init__(paths, np.asarray(labels), mode=mode)
+
+
+class ImageFolderDataset(BaseDataset):
+    """Generic class-per-subdirectory tree (torchvision ImageFolder layout):
+
+        root/<class_name>/<image>.{jpg,jpeg,png,bmp,webp}
+
+    Not in the reference (its 17 loaders are dataset-specific) — provided so
+    arbitrary user data works without writing a parser.  Splits:
+
+    - mode="all": every image (label = sorted-class index);
+    - mode="train"/"test" with split="class_disjoint" (default): first
+      half of the classes train, second half test (the CUB/SOP retrieval
+      convention, cub200.py:9-51);
+    - split="in_domain": per-class `holdout` fraction to test, seeded.
+    """
+
+    _EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+    def __init__(self, data_dir: str, mode: str = "train",
+                 split: str = "class_disjoint", holdout: float = 0.5,
+                 seed: int = 0, **kw):
+        classes = sorted(
+            d for d in os.listdir(data_dir)
+            if os.path.isdir(os.path.join(data_dir, d)))
+        if not classes:
+            raise FileNotFoundError(f"no class subdirectories under {data_dir}")
+        paths, labels = [], []
+        for idx, cls in enumerate(classes):
+            cdir = os.path.join(data_dir, cls)
+            for name in sorted(os.listdir(cdir)):
+                if name.lower().endswith(self._EXTS):
+                    paths.append(os.path.join(cdir, name))
+                    labels.append(idx)
+        labels = np.asarray(labels)
+        if mode != "all":
+            if split == "class_disjoint":
+                cut = len(classes) // 2
+                keep = labels < cut if mode == "train" else labels >= cut
+            elif split == "in_domain":
+                rng = np.random.RandomState(seed)
+                test_mask = np.zeros(len(paths), bool)
+                for idx in range(len(classes)):
+                    members = np.where(labels == idx)[0]
+                    n_test = max(1, int(round(len(members) * holdout)))
+                    test_mask[rng.permutation(members)[:n_test]] = True
+                keep = ~test_mask if mode == "train" else test_mask
+            else:
+                raise ValueError(f"unknown split {split!r}")
+            paths = [p for p, k in zip(paths, keep) if k]
+            labels = labels[keep]
+        super().__init__(paths, self.remap_labels(labels), mode=mode)

@@ -6,6 +6,7 @@ from irw_tpu.data.base import BaseDataset, subset
 from irw_tpu.data.cifar import Cifar10Retrieval, Cifar100RetrievalDataset, CifarDataset
 from irw_tpu.data.datasets_image import (
     Cub200Dataset,
+    ImageFolderDataset,
     Cub200Indomain,
     ImageNet100Hashing,
     INaturalistDataset,
@@ -22,6 +23,7 @@ DATASET_REGISTRY = {
     "SyntheticDataset": SyntheticDataset,
     "SyntheticHashingDataset": SyntheticHashingDataset,
     "Cub200Dataset": Cub200Dataset,
+    "ImageFolderDataset": ImageFolderDataset,
     "Cub200Indomain": Cub200Indomain,
     "SOPDataset": SOPDataset,
     "InShopDataset": InShopDataset,

@@ -119,3 +119,31 @@ def test_corrupt_image_fallback(tmp_path):
     ds = BaseDataset([bad], np.array([0]))
     img = ds.load_image(0)
     assert img.size == (256, 256)  # black fallback, no crash
+
+
+def test_image_folder_dataset(tmp_path):
+    root = str(tmp_path)
+    for cls, n in (("ants", 4), ("bees", 3), ("cats", 5), ("dogs", 2)):
+        for j in range(n):
+            _touch_image(os.path.join(root, cls, f"{j}.jpg"))
+    open(os.path.join(root, "notes.txt"), "w").write("ignored")
+
+    from irw_tpu.data.datasets_image import ImageFolderDataset
+
+    everything = ImageFolderDataset(root, mode="all")
+    assert len(everything) == 14 and sorted(set(everything.labels)) == [0, 1, 2, 3]
+
+    train = ImageFolderDataset(root, mode="train")   # class-disjoint halves
+    test = ImageFolderDataset(root, mode="test")
+    assert len(train) == 7 and len(test) == 7        # ants+bees | cats+dogs
+    assert set(train.labels) == {0, 1} and set(test.labels) == {0, 1}  # remapped
+
+    tr = ImageFolderDataset(root, mode="train", split="in_domain", holdout=0.5)
+    te = ImageFolderDataset(root, mode="test", split="in_domain", holdout=0.5)
+    assert len(tr) + len(te) == 14
+    assert set(tr.paths).isdisjoint(te.paths)
+    assert tr[0]["image"].size == (8, 8)
+
+    # registry + getter path
+    from irw_tpu.data import DATASET_REGISTRY
+    assert "ImageFolderDataset" in DATASET_REGISTRY
