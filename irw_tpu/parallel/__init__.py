@@ -22,6 +22,7 @@ from irw_tpu.parallel.mesh import (
     shard_batch,
     shard_train_batch,
 )
+from irw_tpu.parallel.pp import gpipe, pp_vit_forward, split_stages
 from irw_tpu.parallel.tp import (
     tp_leaf_spec,
     tp_shardings,
@@ -43,4 +44,7 @@ __all__ = [
     "band_tp_leaf_spec",
     "mesh_shardings",
     "validate_band_divisibility",
+    "gpipe",
+    "pp_vit_forward",
+    "split_stages",
 ]

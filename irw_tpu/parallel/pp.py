@@ -1,0 +1,146 @@
+"""Pipeline parallelism: GPipe-style microbatching over a ``stage`` mesh axis.
+
+Completes the mesh menu (data × band × model × stage): the scanned ViT
+block stack is split into S contiguous stage groups, each stage's
+parameters live on its own mesh shard, and microbatches flow through a
+``shard_map``-ed tick loop — stage i computes microbatch m while stage
+i+1 computes m-1, activations hop stages over ``ppermute`` (ICI
+neighbours).  The pipeline "bubble" is the classic (S-1)/(M+S-1) idle
+fraction, so use n_microbatches >> n_stages.
+
+The backward pass falls out of jax.grad: ``ppermute``'s transpose is the
+reverse permutation, so the cotangents flow backwards through the same
+schedule without any hand-written reverse pipeline.
+
+For the 4-branch flagship, band parallelism (parallel/band.py) is the
+better first axis — pp is the scale-out path for single backbones that
+outgrow a chip even under tensor parallelism.  The reference has no
+counterpart (single-process DataParallel only, run.py:132-134).
+
+References: the public "How to Scale Your Model" pipelining recipe
+(jax-ml.github.io/scaling-book) — mesh + shard_map + collective-permute
+ticks; re-derived here for the scanned flax ViT layout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def gpipe(stage_fn, stage_params, x_microbatches, *, mesh: Mesh,
+          axis_name: str = "stage"):
+    """Run ``stage_fn(local_params, x) -> y`` (same shape) as an S-stage
+    pipeline over ``mesh``'s ``axis_name``.
+
+    stage_params: pytree with leading axis S (stage i's slice lands on
+    shard i); x_microbatches: (M, mb, ...) — outputs are (M, mb, ...),
+    replicated across the axis.
+    """
+    n_stages = mesh.shape[axis_name]
+    n_micro = x_microbatches.shape[0]
+
+    def pipelined(params, x_mb):
+        stage = jax.lax.axis_index(axis_name)
+        local = jax.tree_util.tree_map(lambda p: p[0], params)  # my slice
+        sample_shape = x_mb.shape[1:]
+        n_ticks = n_micro + n_stages - 1
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def tick(carry, t):
+            received, out_buf = carry
+            # stage 0 ingests microbatch t; later stages consume what the
+            # previous stage sent last tick
+            x_t = jax.lax.dynamic_index_in_dim(
+                x_mb, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False)
+            inp = jnp.where(stage == 0, x_t, received)
+            out = stage_fn(local, inp)
+            # the last stage finishes microbatch t-(S-1) this tick
+            done = t - (n_stages - 1)
+            write = jnp.clip(done, 0, n_micro - 1)
+            cur = jax.lax.dynamic_index_in_dim(out_buf, write, 0,
+                                               keepdims=False)
+            fresh = jnp.where((done >= 0) & (stage == n_stages - 1), out, cur)
+            out_buf = jax.lax.dynamic_update_index_in_dim(
+                out_buf, fresh, write, 0)
+            received = jax.lax.ppermute(out, axis_name, perm)
+            return (received, out_buf), None
+
+        init = (jnp.zeros(sample_shape, x_mb.dtype),
+                jnp.zeros((n_micro, *sample_shape), x_mb.dtype))
+        # the loop writes stage-varying values into the carry: mark the
+        # initial zeros as varying over the stage axis (shard_map vma typing)
+        init = jax.lax.pcast(init, (axis_name,), to="varying")
+        (_, out_buf), _ = jax.lax.scan(tick, init, jnp.arange(n_ticks))
+        # replicate the last stage's results to every shard
+        out_buf = jnp.where(stage == n_stages - 1, out_buf, 0)
+        return jax.lax.psum(out_buf, axis_name)
+
+    stage_spec = jax.tree_util.tree_map(lambda _: P(axis_name), stage_params)
+    return jax.shard_map(
+        pipelined, mesh=mesh,
+        in_specs=(stage_spec, P()), out_specs=P(),
+    )(stage_params, x_microbatches)
+
+
+def split_stages(block_params, n_stages: int):
+    """(depth, ...) scanned-block leaves -> (S, depth/S, ...)."""
+
+    def split(p):
+        depth = p.shape[0]
+        if depth % n_stages:
+            raise ValueError(
+                f"depth {depth} not divisible by {n_stages} pipeline stages")
+        return p.reshape(n_stages, depth // n_stages, *p.shape[1:])
+
+    return jax.tree_util.tree_map(split, block_params)
+
+
+def pp_vit_forward(vit, variables, x, *, mesh: Mesh, n_microbatches: int,
+                   axis_name: str = "stage"):
+    """Eval-mode ViT forward with the block stack pipelined over ``mesh``.
+
+    Mirrors VisionTransformer.__call__ (models/vit.py) for the scanned,
+    prompt-less, single-domain configuration; equality with the plain
+    forward is asserted by tests/test_sharding.py.  Returns cls embeddings.
+    """
+    from irw_tpu.models.vit import Block, DomainLayerNorm, PatchEmbed
+
+    assert vit.scan_blocks, "pipeline parallelism needs the scanned layout"
+    assert vit.num_prompts == 0, "pp path: prompt tokens not supported"
+    params = variables["params"]
+    b = x.shape[0]
+    if b % n_microbatches:
+        raise ValueError(f"batch {b} not divisible by {n_microbatches} microbatches")
+
+    # ---- embed (replicated; small) — vit.py:252-260
+    tokens = PatchEmbed(vit.embed_dim, vit.patch_size, dtype=vit.dtype).apply(
+        {"params": params["PatchEmbed_0"]}, x)
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, vit.embed_dim))
+    tokens = jnp.concatenate([cls, tokens], 1) + params["pos_embed"]
+
+    # ---- pipelined block stack
+    block = Block(
+        num_heads=vit.num_heads, mlp_ratio=vit.mlp_ratio, dropout=vit.dropout,
+        num_domains=vit.num_domains, use_flash=vit.use_flash,
+        fused_qkv=vit.fused_qkv, exact_gelu=vit.exact_gelu, dtype=vit.dtype)
+    stage_params = split_stages(params["blocks"]["Block_0"], mesh.shape[axis_name])
+
+    def stage_fn(p_stage, toks):
+        def body(toks, p_block):
+            return block.apply({"params": p_block}, toks, False, None), None
+
+        toks, _ = jax.lax.scan(body, toks, p_stage)
+        return toks
+
+    mb = tokens.reshape(n_microbatches, b // n_microbatches, *tokens.shape[1:])
+    tokens = gpipe(stage_fn, stage_params, mb, mesh=mesh,
+                   axis_name=axis_name).reshape(tokens.shape)
+
+    # ---- head — vit.py:333-336
+    tokens = DomainLayerNorm(vit.num_domains, dtype=vit.dtype).apply(
+        {"params": params["norm"]}, tokens, None)
+    return tokens[:, 0]

@@ -419,3 +419,54 @@ def test_band_parallel_fallback_keeps_tp(devices, tmp_path, rng):
                            dataset, sampler, {"test": dataset}, host_t, device_t,
                            config, str(tmp_path))
     assert "map_level0" in metrics["test"]
+
+
+def test_pipeline_parallel_vit_forward_matches(devices, rng):
+    """GPipe pipeline over a 'stage' mesh axis (parallel/pp.py): the
+    pipelined block stack equals the plain scanned forward bit-exactly at
+    2 and 4 stages."""
+    from jax.sharding import Mesh
+
+    from irw_tpu.models.vit import VisionTransformer
+    from irw_tpu.parallel import pp_vit_forward
+
+    vt = VisionTransformer(embed_dim=32, depth=4, num_heads=2, patch_size=8,
+                           scan_blocks=True)
+    x = jnp.asarray(rng.rand(8, 16, 16, 3), jnp.float32)
+    variables = vt.init(jax.random.PRNGKey(0), x, train=False)
+    ref, _ = vt.apply(variables, x, train=False)
+    for n_stages in (2, 4):
+        mesh = Mesh(np.asarray(jax.devices()[:n_stages]), ("stage",))
+        got = pp_vit_forward(vt, variables, x, mesh=mesh, n_microbatches=4)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_pipeline_parallel_gradients_match(devices, rng):
+    """jax.grad flows through the ppermute tick loop: pipeline gradients
+    equal the plain forward's gradients (ppermute transposes to the
+    reverse permutation — no hand-written backward schedule)."""
+    from jax.sharding import Mesh
+
+    from irw_tpu.models.vit import VisionTransformer
+    from irw_tpu.parallel import pp_vit_forward
+
+    vt = VisionTransformer(embed_dim=32, depth=4, num_heads=2, patch_size=8,
+                           scan_blocks=True)
+    x = jnp.asarray(rng.rand(8, 16, 16, 3), jnp.float32)
+    variables = vt.init(jax.random.PRNGKey(0), x, train=False)
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("stage",))
+
+    def loss_pp(params):
+        out = pp_vit_forward(vt, {"params": params}, x, mesh=mesh,
+                             n_microbatches=4)
+        return (out ** 2).sum()
+
+    def loss_ref(params):
+        out, _ = vt.apply({"params": params}, x, train=False)
+        return (out ** 2).sum()
+
+    g_pp = jax.grad(loss_pp)(variables["params"])
+    g_ref = jax.grad(loss_ref)(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_pp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
