@@ -195,7 +195,8 @@ class ImageFolderDataset(BaseDataset):
                 test_mask = np.zeros(len(paths), bool)
                 for idx in range(len(classes)):
                     members = np.where(labels == idx)[0]
-                    n_test = max(1, int(round(len(members) * holdout)))
+                    n_test = (0 if holdout <= 0
+                              else max(1, int(round(len(members) * holdout))))
                     test_mask[rng.permutation(members)[:n_test]] = True
                 keep = ~test_mask if mode == "train" else test_mask
             else:

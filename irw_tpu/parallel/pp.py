@@ -24,11 +24,9 @@ ticks; re-derived here for the scanned flax ViT layout.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def gpipe(stage_fn, stage_params, x_microbatches, *, mesh: Mesh,
@@ -111,6 +109,7 @@ def pp_vit_forward(vit, variables, x, *, mesh: Mesh, n_microbatches: int,
 
     assert vit.scan_blocks, "pipeline parallelism needs the scanned layout"
     assert vit.num_prompts == 0, "pp path: prompt tokens not supported"
+    assert vit.num_domains <= 1, "pp path: single-domain only (domain=None)"
     params = variables["params"]
     b = x.shape[0]
     if b % n_microbatches:

@@ -43,6 +43,23 @@ def run(config, base_config=None, checkpoint_dir=None, splits=None):
 
     train_ds, eval_datasets = getter.get_dataset(config.dataset)
 
+    # dataset.num_classes: null -> infer from the built dataset (the
+    # ImageFolder path has no a-priori class count) and reconcile loss
+    # kwargs that carry a class count — reference presets always declare it
+    # explicitly, so this only fires for inferred datasets
+    if config.dataset.get("num_classes") is None:
+        labels = train_ds.labels
+        inferred = (int(labels.shape[1]) if getattr(labels, "ndim", 1) > 1
+                    else int(labels.max()) + 1)
+        config.dataset["num_classes"] = inferred
+        for entry in config.get("loss") or []:
+            kwargs = entry.get("kwargs")
+            if kwargs and kwargs.get("num_classes") not in (None, inferred):
+                LOGGER.info(
+                    f"loss {entry.get('name')}: num_classes "
+                    f"{kwargs['num_classes']} -> {inferred} (inferred from dataset)")
+                kwargs["num_classes"] = inferred
+
     # k-fold split support (run.py:72-84)
     kfold = exp.get("kfold", None)
     if kfold and kfold.get("use_kfold"):

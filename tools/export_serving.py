@@ -35,16 +35,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_eval_fn(model, variables):
-    """Close the weights over the eval forward: bands -> codes."""
-
-    def fn(bands):
-        out, _aux = model.apply(variables, bands, train=False)
-        return out
-
-    return fn
-
-
 def export_model(model, variables, input_shape, out_path: str | None = None,
                  symbolic_batch: bool = True, platforms=("cpu", "tpu"),
                  bake_weights: bool = True, device_transform=None):
@@ -159,6 +149,9 @@ def main():
     import jax
 
     device_transform = None
+    if args.with_transform and not args.run:
+        raise SystemExit("--with-transform needs --run (the transform comes "
+                         "from the run's config)")
     if args.run:
         model, variables, _, device_eval = _from_run(args.run)
         if args.with_transform:
