@@ -165,3 +165,14 @@ def test_in_memory_dataset_stays_on_pil():
     assert not loader._native_eligible()
     batch = next(iter(loader))
     assert batch["image"].shape == (2, 32, 32, 3)
+
+
+def test_fast_scale_defaults_train_only(image_dir):
+    """DCT-scaled decode defaults ON for training (augmentation-grade) and
+    OFF for eval, so eval embeddings stay bit-comparable with PIL."""
+    ds = DiskDataset(image_dir)
+    ht = HostTransform([("Resize", {"size": 32})])
+    assert EpochLoader(ds, [[0]], ht, train=True).native_fast_scale is True
+    assert EpochLoader(ds, [[0]], ht, train=False).native_fast_scale is False
+    assert EpochLoader(ds, [[0]], ht, train=True,
+                       native_fast_scale=False).native_fast_scale is False
