@@ -57,20 +57,82 @@ def build_command(overrides) -> list[str]:
     return [sys.executable, os.path.join(REPO_ROOT, "single_experiment_runner.py")] + overrides
 
 
+def run_jobs(jobs, n_parallel: int = 1, chips_per_job: int | None = None,
+             dry_run: bool = False) -> int:
+    """Launch the expanded jobs, optionally ``n_parallel`` at a time.
+
+    The reference fanned jobs out through Ray with 1 GPU per job
+    (config/hydra/launcher/ray_launcher.yaml:8-9); here parallel jobs are
+    plain subprocesses, each pinned to its own chip subset via
+    TPU_VISIBLE_DEVICES when ``chips_per_job`` is set (job slot i gets
+    chips [i*K, (i+1)*K)).  Returns the count of failed jobs.
+    """
+    failures = 0
+    running: list[tuple[subprocess.Popen, str]] = []
+
+    def reap(block: bool) -> None:
+        nonlocal failures
+        while running and (block or any(p.poll() is not None for p, _ in running)):
+            for item in list(running):
+                proc, name = item
+                rc = proc.wait() if block else proc.poll()
+                if rc is None:
+                    continue
+                if rc != 0:
+                    print(f"  job {name} FAILED (rc={rc})")
+                    failures += 1
+                running.remove(item)
+            if not block:
+                break
+
+    for slot, (name, overrides) in enumerate(jobs):
+        cmd = build_command(overrides)
+        print(" ", " ".join(cmd))
+        if dry_run:
+            continue
+        if n_parallel <= 1:
+            rc = subprocess.run(cmd, check=False).returncode
+            if rc != 0:
+                print(f"  job {name} FAILED (rc={rc})")
+                failures += 1
+            continue
+        env = dict(os.environ)
+        if chips_per_job:
+            lane = slot % n_parallel
+            chips = range(lane * chips_per_job, (lane + 1) * chips_per_job)
+            env["TPU_VISIBLE_DEVICES"] = ",".join(str(c) for c in chips)
+        while len(running) >= n_parallel:
+            import time
+
+            reap(block=False)
+            if len(running) >= n_parallel:
+                time.sleep(0.5)
+        running.append((subprocess.Popen(cmd, env=env), name))
+    reap(block=True)
+    return failures
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("plan")
     parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument("--jobs", type=int, default=1,
+                        help="run up to N study jobs concurrently (the "
+                             "reference used a Ray launcher with 1 GPU/job)")
+    parser.add_argument("--chips-per-job", type=int, default=None,
+                        help="pin each concurrent job to its own chip subset "
+                             "via TPU_VISIBLE_DEVICES")
     args = parser.parse_args()
 
     plan = load_plan(args.plan)
     jobs = expand_jobs(plan)
-    print(f"study '{plan.get('study_name')}': {len(jobs)} jobs")
-    for name, overrides in jobs:
-        cmd = build_command(overrides)
-        print(" ", " ".join(cmd))
-        if not args.dry_run:
-            subprocess.run(cmd, check=False)
+    print(f"study '{plan.get('study_name')}': {len(jobs)} jobs"
+          + (f", {args.jobs} in parallel" if args.jobs > 1 else ""))
+    failures = run_jobs(jobs, n_parallel=args.jobs,
+                        chips_per_job=args.chips_per_job,
+                        dry_run=args.dry_run)
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
