@@ -166,3 +166,24 @@ def test_disk_dataset_trains_through_native_loader(tmp_path, monkeypatch):
     metrics = run_module.run(config)
     assert native_calls["n"] > 0, "native loader path never engaged"
     assert "test" in metrics and "map_level0" in metrics["test"]
+
+
+def test_run_plan_parallel_launcher_counts_failures(monkeypatch):
+    """run_jobs fans jobs out as subprocesses (--jobs N) and reports the
+    number of failed ones (reference: Ray launcher, 1 GPU/job)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "studies"))
+    import run_plan
+
+    calls = []
+
+    def fake_cmd(overrides):
+        calls.append(overrides)
+        code = "import sys; sys.exit(1)" if "fail=1" in overrides else "pass"
+        return [sys.executable, "-c", code]
+
+    monkeypatch.setattr(run_plan, "build_command", fake_cmd)
+    jobs = [("a", ["ok=1"]), ("b", ["fail=1"]), ("c", ["ok=2"]), ("d", ["ok=3"])]
+    assert run_plan.run_jobs(jobs, n_parallel=2) == 1
+    assert len(calls) == 4
+    assert run_plan.run_jobs(jobs, n_parallel=1) == 1  # serial path too
+    assert run_plan.run_jobs(jobs, n_parallel=2, dry_run=True) == 0
