@@ -176,3 +176,28 @@ def test_fast_scale_defaults_train_only(image_dir):
     assert EpochLoader(ds, [[0]], ht, train=False).native_fast_scale is False
     assert EpochLoader(ds, [[0]], ht, train=True,
                        native_fast_scale=False).native_fast_scale is False
+
+
+def test_header_probe_falls_back_on_huge_exif(tmp_path):
+    """irw_image_size reads a 256KB prefix; a JPEG whose SOF sits behind a
+    bigger APP1 (EXIF) blob must fall back to the full-file parse."""
+    rs = np.random.RandomState(5)
+    arr = rs.randint(0, 256, (60, 80, 3), np.uint8)
+    base = str(tmp_path / "plain.jpg")
+    Image.fromarray(arr).save(base, quality=90)
+    data = open(base, "rb").read()
+    assert data[:2] == b"\xff\xd8"
+    # splice ~360KB of APP1 segments right after SOI (a segment length
+    # field is 16-bit, so real oversized EXIF spans several segments)
+    blob = b"Exif\x00\x00" + b"\x00" * 60_000
+    app1 = b"\xff\xe1" + (len(blob) + 2).to_bytes(2, "big") + blob
+    big = str(tmp_path / "bigexif.jpg")
+    with open(big, "wb") as f:
+        f.write(data[:2] + app1 * 6 + data[2:])
+    # PIL agrees the file is valid and 80x60
+    assert Image.open(big).size == (80, 60)
+    assert native.image_size(big) == (80, 60)
+    # and the full decode path still works through load_batch
+    plan = native.pack_plan([("resize", 32, 32, native.FILTER_BILINEAR)])
+    images, status = native.load_batch([big], [plan], 32, 32, 1)
+    assert status[0] == 0 and images.shape == (1, 32, 32, 3)
