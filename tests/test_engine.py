@@ -318,6 +318,7 @@ def test_full_train_loop_and_eval(tiny_setup, tmp_path):
         "max_iter": 2, "train_eval_freq": 2, "eval_bs": 32, "num_workers": 2,
         "principal_metric": "map_level0", "eval_split": "test",
         "distance_metric": "hamming", "seed": 0,
+        "profile_epoch": 1,  # jax.profiler trace for epoch 1 (SURVEY §5.1)
     }}
     state, metrics = train(
         model, state, losses, entries, loss_tx, dataset, sampler,
@@ -330,6 +331,8 @@ def test_full_train_loop_and_eval(tiny_setup, tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "weights", "rolling"))
     # metrics logged
     assert os.path.exists(os.path.join(str(tmp_path), "metrics.jsonl"))
+    # profiler trace emitted for the requested epoch
+    assert os.path.isdir(os.path.join(str(tmp_path), "profile"))
 
 
 def test_checkpoint_roundtrip(tiny_setup, tmp_path):
