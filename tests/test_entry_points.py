@@ -187,3 +187,46 @@ def test_run_plan_parallel_launcher_counts_failures(monkeypatch):
     assert len(calls) == 4
     assert run_plan.run_jobs(jobs, n_parallel=1) == 1  # serial path too
     assert run_plan.run_jobs(jobs, n_parallel=2, dry_run=True) == 0
+
+
+def test_image_folder_infers_num_classes(tmp_path, monkeypatch):
+    """dataset.num_classes: null is resolved from the built dataset and
+    reconciled into loss kwargs (run.py) — the ImageFolder quickstart must
+    not train against the loss preset's hardcoded class count."""
+    from PIL import Image
+
+    root = str(tmp_path / "tree")
+    rs = np.random.RandomState(0)
+    for cls in ("a", "b", "c", "d", "e", "f"):
+        os.makedirs(os.path.join(root, cls))
+        for j in range(4):
+            arr = rs.randint(0, 256, (40, 40, 3), np.uint8)
+            Image.fromarray(arr).save(os.path.join(root, cls, f"{j}.jpg"))
+
+    config = compose(
+        CONFIG_DIR,
+        "default",
+        [
+            "dataset=image_folder",
+            f"dataset.kwargs.data_dir={root}",
+            "dataset.sampler.kwargs.batch_size=8",
+            "dataset.sampler.kwargs.m=4",
+            "transform=dwt_small",
+            "experience.max_iter=1",
+            "experience.train_eval_freq=1",
+            "experience.eval_bs=16",
+            "experience.num_workers=0",
+            "experience.maybe_resume=false",
+            "experience.experiment_name=ncls",
+            f"experience.log_dir={tmp_path}",
+            "+experience.use_mesh=false",
+        ],
+    )
+    assert config.dataset["num_classes"] is None
+    import run as run_module
+
+    metrics = run_module.run(config)
+    # class-disjoint halves of 6 classes -> 3 train classes, remapped 0..2
+    assert config.dataset["num_classes"] == 3
+    assert config.loss[0]["kwargs"]["num_classes"] == 3
+    assert "map_level0" in metrics["test"]
