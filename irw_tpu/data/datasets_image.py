@@ -188,6 +188,12 @@ class ImageFolderDataset(BaseDataset):
         labels = np.asarray(labels)
         if mode != "all":
             if split == "class_disjoint":
+                if len(classes) < 2:
+                    raise ValueError(
+                        f"split='class_disjoint' needs at least 2 class "
+                        f"directories under {data_dir}, found "
+                        f"{len(classes)} ({classes}); the train half would "
+                        f"be empty. Use mode='all' or split='in_domain'.")
                 cut = len(classes) // 2
                 keep = labels < cut if mode == "train" else labels >= cut
             elif split == "in_domain":

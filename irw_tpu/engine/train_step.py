@@ -116,26 +116,80 @@ def build_train_step(
 
     def forward_microbatched(params, batch_stats, rng, images, alpha):
         """remat+scan micro-batching: embeddings of all micro-batches with
-        activations rematerialised in backward (GradCache equivalent)."""
+        activations rematerialised in backward (GradCache equivalent,
+        base_update.py:151-293).
+
+        Reference-faithful semantics:
+        - ragged tails are carried as one extra (smaller) micro-batch; a
+          tail of exactly 1 sample is merged into the previous chunk
+          (``_split_into_microbatches``, base_update.py:34-49);
+        - scalar aux outputs (the fusion ortho loss) are size-weighted
+          averaged across micro-batches (base_update.py:272-283) — exact
+          for parameter-only ortho terms, a weighted average otherwise;
+        - batch-dim'd aux tensors are re-concatenated in batch order.
+        """
         b = images.shape[0]
-        n_micro = b // sub_batch
-        images_m = images.reshape((n_micro, sub_batch) + images.shape[1:])
-        rngs = jax.random.split(rng, n_micro)
+        sb = min(int(sub_batch), b)
+        if sb >= b:
+            return forward(params, batch_stats, rng, images, alpha)
 
-        def _fwd_no_aux(p, bs, r, im):
-            output, _aux, new_bs = forward(p, bs, r, im, alpha)
-            return output, new_bs
+        n_full, tail = divmod(b, sb)
+        # merge a size-1 tail into the last chunk; otherwise the tail is its
+        # own (smaller) micro-batch processed after the uniform scan
+        n_scan = n_full - 1 if tail == 1 else n_full
+        rest = b - n_scan * sb  # size of the final non-uniform chunk (0 if none)
+        rngs = jax.random.split(rng, n_scan + (1 if rest else 0))
 
-        rematted = jax.checkpoint(_fwd_no_aux)
+        rematted = jax.checkpoint(lambda p, bs, r, im: forward(p, bs, r, im, alpha))
 
-        def body(carry, inp):
+        scan_imgs = images[: n_scan * sb].reshape((n_scan, sb) + images.shape[1:])
+
+        def body(carry_bs, inp):
             r, im = inp
-            out, new_bs = rematted(params, batch_stats, r, im)
-            return new_bs, out
+            out, aux, new_bs = rematted(params, carry_bs, r, im)
+            return new_bs, (out, aux)
 
-        new_bs, outs = jax.lax.scan(body, batch_stats, (rngs, images_m))
-        output = outs.reshape((b,) + outs.shape[2:])
-        return output, {"ortho_loss": jnp.float32(0.0)}, new_bs
+        new_bs, (outs, auxs) = jax.lax.scan(
+            body, batch_stats, (rngs[:n_scan], scan_imgs)
+        )
+
+        tail_out = tail_aux = None
+        if rest:
+            tail_out, tail_aux, new_bs = rematted(
+                params, new_bs, rngs[-1], images[n_scan * sb :]
+            )
+
+        def merge_out(stacked, tail_val):
+            flat = stacked.reshape((n_scan * sb,) + stacked.shape[2:])
+            if tail_val is not None:
+                flat = jnp.concatenate([flat, tail_val], axis=0)
+            return flat
+
+        if rest:
+            output = jax.tree_util.tree_map(merge_out, outs, tail_out)
+        else:
+            output = jax.tree_util.tree_map(lambda s: merge_out(s, None), outs)
+
+        def merge_aux(stacked, tail_val):
+            """stacked: (n_scan, ...) per-chunk values; tail_val: tail chunk's."""
+            if stacked.ndim == 1:  # per-chunk scalar → size-weighted average
+                s = jnp.sum(stacked) * sb
+                if tail_val is not None:
+                    s = s + tail_val * rest
+                return s / b
+            if stacked.ndim >= 2 and stacked.shape[1] == sb:
+                flat = stacked.reshape((n_scan * sb,) + stacked.shape[2:])
+                if tail_val is not None:
+                    flat = jnp.concatenate([flat, tail_val], axis=0)
+                return flat
+            return stacked[-1] if tail_val is None else tail_val
+
+        aux = {
+            k: merge_aux(v, None if tail_aux is None else tail_aux.get(k))
+            for k, v in auxs.items()
+        }
+        aux.setdefault("ortho_loss", jnp.float32(0.0))
+        return output, aux, new_bs
 
     use_xbm = xbm is not None and xbm_active  # static: engine rebuilds the
     # step once when the memory activates (activate_after)

@@ -316,6 +316,10 @@ class VisionTransformer(nn.Module):
                     # batches; lets the batch-vs-recompute tradeoff be swept
                     "everything": jax.checkpoint_policies.everything_saveable,
                 }
+                if self.remat_policy not in policies:
+                    raise ValueError(
+                        f"unknown remat_policy {self.remat_policy!r}; "
+                        f"one of {sorted(k for k in policies if k)}")
                 step_cls = nn.remat(BlockStep, prevent_cse=False,
                                     policy=policies[self.remat_policy])
             stack = nn.scan(

@@ -11,11 +11,22 @@ onto the TPU convolution units.
 Conventions (validated for perfect reconstruction in tests/test_wavelets.py):
 
 - filters come from :mod:`filters` in conv form with a uniform phase rule;
-- default extension mode is ``periodization`` — exact perfect reconstruction
-  and exactly halved sizes per level, the right choice for static-shape TPU
-  programs.  ``zero``/``symmetric``/``reflect`` are supported for parity
-  experiments (borders then reconstruct only approximately, interior is
-  exact);
+- ``periodization`` gives exact perfect reconstruction with exactly halved
+  sizes per level — the natural choice for static-shape TPU programs;
+- ``zero``/``symmetric``/``reflect`` follow pywt's non-periodized algebra
+  exactly: the signal is extended by L−1 per side, convolved, and
+  downsampled at the odd phase, producing ``floor((n+L−1)/2)`` coefficients
+  per side (pywt ``dwt_buffer_length``); synthesis trims L−2 per side.
+  These modes also reconstruct exactly (validated against a hand-written
+  numpy oracle in tests/test_wavelets.py — pywt itself is not installable
+  in this image).
+  **Size policy**: for haar (L=2) on even sizes the non-periodized output
+  is the same n/2 per side and numerically identical to periodization (the
+  extension samples fall outside every sampled window), so the reference's
+  `DWTTransform` configs (all haar, with fix_size padding to 2^level)
+  are bit-faithful under either mode.  Longer filters grow each side by
+  ⌈(L−2)/2⌉ relative to periodization — static, shape-safe, but documented
+  divergence from the "exactly halved" policy;
 - subband order is pywt's: ``(cA, (cH, cV, cD))`` with cH = highpass along
   H (rows), cV = highpass along W (cols), cD = both — i.e. (LL, LH, HL, HH)
   in the lifting module's naming;
@@ -79,19 +90,31 @@ def _conv_1d(x, kernels, stride: int):
 def _analysis_1d(x, dec_lo, dec_hi, mode: Mode):
     """One decimating analysis pass along the last axis.
 
-    x: (..., n) with even n → (lo, hi), each (..., n // 2).
+    ``periodization``: x (..., n) with even n → (lo, hi), each (..., n//2).
+    Other modes follow pywt exactly: extend by L−1 per side, convolve, keep
+    the odd phase → each output is (..., floor((n+L−1)/2)).  Padding L−2 on
+    the left (one less than the full extension) makes the stride-2 valid
+    conv land on the odd-indexed samples of the fully-extended convolution.
     """
     L = len(dec_lo)
-    xp = _pad_1d(x, L - 2, 0, mode)
+    if mode == "periodization":
+        xp = _pad_1d(x, L - 2, 0, mode)
+    else:
+        xp = _pad_1d(x, L - 2, L - 1, mode)
     kernels = np.stack([dec_lo[::-1], dec_hi[::-1]])
-    out = _conv_1d(xp, kernels, stride=2)  # (..., 2, n/2)
+    out = _conv_1d(xp, kernels, stride=2)
     return out[..., 0, :], out[..., 1, :]
 
 
 def _synthesis_1d(lo, hi, rec_lo, rec_hi, mode: Mode):
-    """Inverse of :func:`_analysis_1d` along the last axis."""
+    """Inverse of :func:`_analysis_1d` along the last axis.
+
+    ``periodization``: 2m outputs.  Other modes: pywt's idwt — upsample,
+    convolve, trim L−2 per side → ``2m − L + 2`` outputs.
+    """
     L = len(rec_lo)
-    n = 2 * lo.shape[-1]
+    m = lo.shape[-1]
+    n = 2 * m
     # upsample: interleave with zeros
     up = jnp.stack([jnp.stack([lo, hi], axis=-2), jnp.zeros_like(jnp.stack([lo, hi], axis=-2))], axis=-1)
     up = up.reshape(lo.shape[:-1] + (2, n))  # (..., 2, n), channel-major
@@ -107,7 +130,10 @@ def _synthesis_1d(lo, hi, rec_lo, rec_hi, mode: Mode):
         dimension_numbers=("NCH", "OIH", "NCH"),
         precision=jax.lax.Precision.HIGHEST,
     )
-    return out.reshape(lead_shape + (n,))
+    out = out.reshape(lead_shape + (n,))
+    if mode != "periodization":
+        out = out[..., : n - L + 2]
+    return out
 
 
 def _move_last(x, axis):
@@ -164,9 +190,17 @@ def wavedec2(x, wavelet: str = "haar", level: int = 1, mode: Mode = "periodizati
 
 
 def waverec2(coeffs, wavelet: str = "haar", mode: Mode = "periodization"):
-    """Inverse of :func:`wavedec2`."""
+    """Inverse of :func:`wavedec2`.
+
+    Like pywt's waverec2, a level reconstructed from odd-length input comes
+    back one sample long per axis; it is cropped to the next finer level's
+    coefficient size before the next synthesis.
+    """
     x = coeffs[0]
     for details in coeffs[1:]:
+        dh, dw = details[0].shape[-2:]
+        if x.shape[-2:] != (dh, dw):
+            x = x[..., :dh, :dw]
         x = idwt2(x, details, wavelet, mode)
     return x
 

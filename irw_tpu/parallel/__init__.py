@@ -22,6 +22,7 @@ from irw_tpu.parallel.mesh import (
     shard_batch,
     shard_train_batch,
 )
+from irw_tpu.parallel.fsdp import bytes_per_device, fsdp_leaf_spec, fsdp_shardings
 from irw_tpu.parallel.pp import gpipe, pp_vit_forward, split_stages
 from irw_tpu.parallel.tp import (
     tp_leaf_spec,
@@ -47,4 +48,7 @@ __all__ = [
     "gpipe",
     "pp_vit_forward",
     "split_stages",
+    "fsdp_leaf_spec",
+    "fsdp_shardings",
+    "bytes_per_device",
 ]

