@@ -17,11 +17,16 @@ from irw_tpu.data.datasets_image import (
 )
 from irw_tpu.data.datasets_multilabel import COCOHashing, MIRFlickrHashing, VOC2012Hashing
 from irw_tpu.data.landmarks import RevisitedDataset, SfM120kDataset
-from irw_tpu.data.synthetic import SyntheticDataset, SyntheticHashingDataset
+from irw_tpu.data.synthetic import (
+    SyntheticDataset,
+    SyntheticHashingDataset,
+    SyntheticVOCDataset,
+)
 
 DATASET_REGISTRY = {
     "SyntheticDataset": SyntheticDataset,
     "SyntheticHashingDataset": SyntheticHashingDataset,
+    "SyntheticVOCDataset": SyntheticVOCDataset,
     "Cub200Dataset": Cub200Dataset,
     "ImageFolderDataset": ImageFolderDataset,
     "Cub200Indomain": Cub200Indomain,
@@ -45,6 +50,7 @@ DATASET_REGISTRY = {
 # (getter.py:169-233 builds these dicts per family)
 QUERY_GALLERY_DATASETS = {
     "SyntheticHashingDataset",
+    "SyntheticVOCDataset",
     "InShopDataset",
     "VOC2012Hashing",
     "MIRFlickrHashing",

@@ -83,3 +83,28 @@ class SyntheticHashingDataset(SyntheticDataset):
             mode=mode,
             **kw,
         )
+
+
+class SyntheticVOCDataset(SyntheticDataset):
+    """VOC2012Hashing-shaped synthetic protocol for protocol-scale dress
+    rehearsals on hardware without the real data: train == database ==
+    gallery (``num_train``, default VOC's 5717), query/val/test a disjoint
+    draw (``num_query``, default VOC's 5823), 20-dim float multi-label
+    vectors (reference ``main/datasets/voc.py:33-38, 55-70``: train is the
+    retrieval database, val is the query set).  Images carry a
+    class-dependent frequency pattern, so retrieval mAP genuinely improves
+    with training."""
+
+    def __init__(self, num_train: int = 5717, num_query: int = 5823,
+                 mode: str = "train", seed: int = 0, **kw):
+        is_query = mode in ("query", "test", "val")
+        kw.setdefault("multi_label", True)
+        kw.setdefault("num_label_dims", 20)
+        kw.setdefault("num_classes", 20)
+        kw.pop("num_samples", None)
+        super().__init__(
+            num_samples=int(num_query) if is_query else int(num_train),
+            seed=seed * 10 + (1 if is_query else 0),
+            mode=mode,
+            **kw,
+        )

@@ -96,8 +96,14 @@ def load_checkpoint(log_dir: str, template=None):
         return None
     with ocp.PyTreeCheckpointer() as ckptr:
         if template is not None:
+            # orbax needs a structurally-matching template for every
+            # subtree; meta's config dict has arbitrary shape, so recover
+            # it from a raw restore first and graft it into the template
+            raw = ckptr.restore(path)
             restored = ckptr.restore(
-                path, args=ocp.args.PyTreeRestore(item={"state": template, "meta": None})
+                path,
+                args=ocp.args.PyTreeRestore(
+                    item={"state": template, "meta": raw["meta"]}),
             )
         else:
             restored = ckptr.restore(path)

@@ -29,45 +29,60 @@ HF_DEFAULT_CONFIGS = {
 }
 
 
+def build_hf_config(variant: str, **overrides):
+    """The transformers config object for a wrapper variant — shared between
+    the module's setup and the weight converter (tools/convert_torch_weights
+    builds the SAME config so converted trees always line up)."""
+    cfg = {**HF_DEFAULT_CONFIGS[variant], **overrides}
+    common = dict(
+        hidden_size=cfg["hidden_size"],
+        num_hidden_layers=cfg["num_hidden_layers"],
+        num_attention_heads=cfg["num_attention_heads"],
+        image_size=cfg["image_size"],
+        patch_size=cfg["patch_size"],
+        intermediate_size=cfg.get("intermediate_size", cfg["hidden_size"] * 4),
+    )
+    if cfg["kind"] == "clip":
+        from transformers import CLIPVisionConfig
+
+        return CLIPVisionConfig(**common)
+    from transformers import ViTConfig
+
+    return ViTConfig(**common)
+
+
+def build_hf_flax_model(variant: str, do_init: bool = False, **overrides):
+    """The transformers Flax model for a variant (uninitialised by default;
+    the converter needs ``do_init=True`` — transformers' torch→flax
+    converter reads the template tree from ``model.params``)."""
+    config = build_hf_config(variant, **overrides)
+    if HF_DEFAULT_CONFIGS[variant]["kind"] == "clip":
+        from transformers import FlaxCLIPVisionModel
+
+        return FlaxCLIPVisionModel(config, _do_init=do_init)
+    from transformers import FlaxViTModel
+
+    return FlaxViTModel(config, _do_init=do_init)
+
+
 class HuggingFaceVisionWrapper(nn.Module):
     """Pooled CLS output of a transformers Flax vision tower
     (hugging_face_models.py:6-24).  ``variant`` picks a config preset;
-    pretrained weights come via params restore (checkpoint / converter)."""
+    pretrained weights come via params restore (checkpoint or
+    tools/convert_torch_weights.py --kind clip_vit_b16/siglip2/...)."""
 
     variant: str = "clip_vit_b16"
     normalize: bool = True
 
     def setup(self):
-        cfg = HF_DEFAULT_CONFIGS[self.variant]
-        if cfg["kind"] == "clip":
-            from transformers import CLIPVisionConfig, FlaxCLIPVisionModel
-
-            config = CLIPVisionConfig(
-                hidden_size=cfg["hidden_size"],
-                num_hidden_layers=cfg["num_hidden_layers"],
-                num_attention_heads=cfg["num_attention_heads"],
-                image_size=cfg["image_size"],
-                patch_size=cfg["patch_size"],
-                intermediate_size=cfg["hidden_size"] * 4,
-            )
-            self.tower = FlaxCLIPVisionModel(config, _do_init=False).module
-        else:
-            from transformers import FlaxViTModel, ViTConfig
-
-            config = ViTConfig(
-                hidden_size=cfg["hidden_size"],
-                num_hidden_layers=cfg["num_hidden_layers"],
-                num_attention_heads=cfg["num_attention_heads"],
-                image_size=cfg["image_size"],
-                patch_size=cfg["patch_size"],
-                intermediate_size=cfg["hidden_size"] * 4,
-            )
-            self.tower = FlaxViTModel(config, _do_init=False).module
+        self.tower = build_hf_flax_model(self.variant).module
 
     def __call__(self, x, train: bool = False):
-        # HF flax vision models take channel-first pixel_values
-        pixels = jnp.moveaxis(x, -1, 1)
-        out = self.tower(pixel_values=pixels, deterministic=not train)
+        # the inner transformers Flax modules take channel-LAST pixel_values
+        # (the outer FlaxPreTrainedModel wrapper, which we bypass, is what
+        # transposes NCHW→NHWC — modeling_flax_clip.py:761); our pipeline is
+        # already NHWC, so pass through unchanged
+        out = self.tower(pixel_values=x, deterministic=not train)
         pooled = out.pooler_output
         aux = {"ortho_loss": jnp.float32(0.0)}
         if self.normalize:

@@ -21,7 +21,9 @@ import numpy as np
 
 # plan opcodes — keep in sync with irw_loader.cpp
 OP_END, OP_CROP, OP_RESIZE, OP_FLIP = 0, 1, 2, 3
+OP_BRIGHTNESS, OP_CONTRAST, OP_SATURATION, OP_GRAYSCALE, OP_BLUR = 4, 5, 6, 7, 8
 FILTER_BILINEAR, FILTER_BICUBIC = 0, 1
+_FP16 = 65536  # fixed-point scale for float operands in int32 plans
 PLAN_STEP = 6          # ints per step
 PLAN_MAX_STEPS = 16    # generous; HostTransform pipelines are ~4 ops
 PLAN_STRIDE = PLAN_STEP * PLAN_MAX_STEPS
@@ -149,9 +151,15 @@ def resize(img: np.ndarray, dw: int, dh: int, filter: int = FILTER_BILINEAR) -> 
     return out
 
 
+_FLOAT_OPS = {"brightness": OP_BRIGHTNESS, "contrast": OP_CONTRAST,
+              "saturation": OP_SATURATION, "blur": OP_BLUR}
+
+
 def pack_plan(steps) -> np.ndarray:
     """steps: list of tuples — ("crop", l, t, w, h) | ("resize", w, h, filter)
-    | ("flip",) — to the int32 plan row the C side executes."""
+    | ("flip",) | ("brightness"/"contrast"/"saturation", f) | ("grayscale",)
+    | ("blur", radius) — to the int32 plan row the C side executes (floats
+    carried as 16.16 fixed point)."""
     plan = np.zeros(PLAN_STRIDE, np.int32)
     if len(steps) > PLAN_MAX_STEPS:
         raise ValueError(f"plan too long: {len(steps)} > {PLAN_MAX_STEPS}")
@@ -163,6 +171,11 @@ def pack_plan(steps) -> np.ndarray:
             plan[base : base + 4] = (OP_RESIZE, *step[1:4])
         elif step[0] == "flip":
             plan[base] = OP_FLIP
+        elif step[0] in _FLOAT_OPS:
+            plan[base : base + 2] = (_FLOAT_OPS[step[0]],
+                                     int(round(step[1] * _FP16)))
+        elif step[0] == "grayscale":
+            plan[base] = OP_GRAYSCALE
         else:
             raise ValueError(f"unknown plan step {step!r}")
     return plan

@@ -348,6 +348,125 @@ int crop(const ImageU8& src, int left, int top, int cw, int ch, ImageU8& dst) {
   return 0;
 }
 
+// ------------------------------------------------------------- pixel ops
+// PIL-parity color augmentation (ImageEnhance / ImageOps.grayscale /
+// ImageFilter.GaussianBlur semantics), so the reference's augmented train
+// pipelines (voc_swt ColorJitter, SwAV color distortion —
+// /root/reference/main/datasets/base_dataset.py:118-147) can run in the
+// C++ thread pool instead of falling back to PIL.
+
+inline uint8_t clamp_u8(int v) {
+  return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+// Pillow L-mode conversion (ITU-R 601-2), integer form used by convert("L")
+inline int to_gray(const uint8_t* p) {
+  return (p[0] * 19595 + p[1] * 38470 + p[2] * 7471 + 0x8000) >> 16;
+}
+
+// ImageEnhance.Brightness == blend(black, img, f)
+void enhance_brightness(ImageU8& img, double f) {
+  // Pillow's Blend.c truncates the float result (empirically verified)
+  uint8_t lut[256];
+  for (int v = 0; v < 256; ++v)
+    lut[v] = clamp_u8(static_cast<int>(std::floor(v * f)));
+  for (auto& v : img.data) v = lut[v];
+}
+
+// ImageEnhance.Contrast: blend(solid gray at round(mean of L), img, f)
+void enhance_contrast(ImageU8& img, double f) {
+  double total = 0.0;
+  const size_t n = img.data.size() / 3;
+  const uint8_t* p = img.data.data();
+  for (size_t i = 0; i < n; ++i, p += 3) total += to_gray(p);
+  const int mean = static_cast<int>(total / static_cast<double>(n) + 0.5);
+  uint8_t lut[256];
+  for (int v = 0; v < 256; ++v)
+    lut[v] = clamp_u8(static_cast<int>(std::floor(mean + f * (v - mean))));
+  for (auto& v : img.data) v = lut[v];
+}
+
+// ImageEnhance.Color == blend(grayscale(img), img, f)
+void enhance_saturation(ImageU8& img, double f) {
+  uint8_t* p = img.data.data();
+  const size_t n = img.data.size() / 3;
+  for (size_t i = 0; i < n; ++i, p += 3) {
+    const int g = to_gray(p);
+    for (int c = 0; c < 3; ++c)
+      p[c] = clamp_u8(static_cast<int>(std::floor(g + f * (p[c] - g))));
+  }
+}
+
+// ImageOps.grayscale(img).convert("RGB")
+void to_grayscale(ImageU8& img) {
+  uint8_t* p = img.data.data();
+  const size_t n = img.data.size() / 3;
+  for (size_t i = 0; i < n; ++i, p += 3) {
+    const uint8_t g = static_cast<uint8_t>(to_gray(p));
+    p[0] = p[1] = p[2] = g;
+  }
+}
+
+// Separable Gaussian with sigma = radius (Pillow's documented GaussianBlur
+// semantics; Pillow approximates with iterated box blurs, so this is
+// augmentation-grade parity, same contract as the DCT-scaled decode),
+// clamp-to-edge boundary.
+void gaussian_blur(ImageU8& img, double radius) {
+  if (radius <= 0.0 || img.w <= 0 || img.h <= 0) return;
+  const double sigma = radius;
+  const int half = std::max(1, static_cast<int>(std::ceil(sigma * 3.0)));
+  std::vector<float> k(2 * half + 1);
+  double total = 0.0;
+  for (int i = -half; i <= half; ++i) {
+    const double w = std::exp(-(i * i) / (2.0 * sigma * sigma));
+    k[i + half] = static_cast<float>(w);
+    total += w;
+  }
+  for (auto& w : k) w = static_cast<float>(w / total);
+
+  const int W = img.w, H = img.h;
+  std::vector<float> tmp(static_cast<size_t>(W) * H * 3);
+  // horizontal
+  for (int y = 0; y < H; ++y) {
+    const uint8_t* srow = img.data.data() + static_cast<size_t>(y) * W * 3;
+    float* trow = tmp.data() + static_cast<size_t>(y) * W * 3;
+    for (int x = 0; x < W; ++x) {
+      float a0 = 0.f, a1 = 0.f, a2 = 0.f;
+      for (int i = -half; i <= half; ++i) {
+        int xs = x + i;
+        xs = xs < 0 ? 0 : (xs >= W ? W - 1 : xs);
+        const float w = k[i + half];
+        const uint8_t* p = srow + 3 * xs;
+        a0 += w * p[0];
+        a1 += w * p[1];
+        a2 += w * p[2];
+      }
+      trow[3 * x + 0] = a0;
+      trow[3 * x + 1] = a1;
+      trow[3 * x + 2] = a2;
+    }
+  }
+  // vertical
+  for (int y = 0; y < H; ++y) {
+    uint8_t* drow = img.data.data() + static_cast<size_t>(y) * W * 3;
+    for (int x = 0; x < W; ++x) {
+      float a0 = 0.f, a1 = 0.f, a2 = 0.f;
+      for (int i = -half; i <= half; ++i) {
+        int ys = y + i;
+        ys = ys < 0 ? 0 : (ys >= H ? H - 1 : ys);
+        const float* p = tmp.data() + (static_cast<size_t>(ys) * W + x) * 3;
+        const float w = k[i + half];
+        a0 += w * p[0];
+        a1 += w * p[1];
+        a2 += w * p[2];
+      }
+      drow[3 * x + 0] = clamp_u8(static_cast<int>(std::lround(a0)));
+      drow[3 * x + 1] = clamp_u8(static_cast<int>(std::lround(a1)));
+      drow[3 * x + 2] = clamp_u8(static_cast<int>(std::lround(a2)));
+    }
+  }
+}
+
 void hflip(ImageU8& img) {
   for (int y = 0; y < img.h; ++y) {
     uint8_t* row = img.data.data() + static_cast<size_t>(y) * img.w * 3;
@@ -364,7 +483,20 @@ void hflip(ImageU8& img) {
 //   [OP_CROP, left, top, w, h, _]
 //   [OP_RESIZE, w, h, filter, _, _]   filter: 0 bilinear, 1 bicubic
 //   [OP_FLIP]                         horizontal flip
-enum { OP_END = 0, OP_CROP = 1, OP_RESIZE = 2, OP_FLIP = 3 };
+//   [OP_BRIGHTNESS|CONTRAST|SATURATION, f_fp16, _, ...]  f = f_fp16/65536
+//   [OP_GRAYSCALE]
+//   [OP_BLUR, radius_fp16, _, ...]    sigma = radius_fp16/65536
+enum {
+  OP_END = 0,
+  OP_CROP = 1,
+  OP_RESIZE = 2,
+  OP_FLIP = 3,
+  OP_BRIGHTNESS = 4,
+  OP_CONTRAST = 5,
+  OP_SATURATION = 6,
+  OP_GRAYSCALE = 7,
+  OP_BLUR = 8,
+};
 
 int run_plan(ImageU8& img, const int32_t* plan, int stride) {
   int i = 0;
@@ -384,6 +516,16 @@ int run_plan(ImageU8& img, const int32_t* plan, int stride) {
       }
     } else if (op == OP_FLIP) {
       hflip(img);
+    } else if (op == OP_BRIGHTNESS) {
+      enhance_brightness(img, plan[i + 1] / 65536.0);
+    } else if (op == OP_CONTRAST) {
+      enhance_contrast(img, plan[i + 1] / 65536.0);
+    } else if (op == OP_SATURATION) {
+      enhance_saturation(img, plan[i + 1] / 65536.0);
+    } else if (op == OP_GRAYSCALE) {
+      to_grayscale(img);
+    } else if (op == OP_BLUR) {
+      gaussian_blur(img, plan[i + 1] / 65536.0);
     } else {
       return 1;  // unknown op
     }

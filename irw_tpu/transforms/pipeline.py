@@ -230,16 +230,18 @@ class HostTransform:
                      "RandomResizedCrop", "RandomHorizontalFlip", "FixSize")
 
     def native_plannable(self, train: bool) -> bool:
-        """True when this pipeline can run through the native C++ loader:
-        geometry-only in train mode (pixel ops stay on PIL), anything but
-        MultiCrop in eval mode (pixel ops are train-only no-ops)."""
+        """True when this pipeline can run through the native C++ loader.
+        Geometry AND the color augmentations (ColorJitter without hue,
+        RandomGrayscale, GaussianBlur) are native ops; a non-zero
+        ColorJitter hue needs PIL's HSV round-trip, and MultiCrop produces
+        a ragged list the single-output batch API can't carry."""
         if train and self.multi_crop is not None:
             return False
-        for name, _ in self.ops:
+        for name, kw in self.ops:
             if name == "MultiCrop":
                 continue
             if name in self._PIXEL_OPS:
-                if train:
+                if train and name == "ColorJitter" and kw.get("hue", 0.0):
                     return False
                 continue
             if name not in self._GEOMETRY_OPS:
@@ -255,8 +257,34 @@ class HostTransform:
         steps: list[tuple] = []
         w, h = width, height
         for name, kw in self.ops:
-            if name == "MultiCrop" or name in self._PIXEL_OPS:
-                continue  # plannable() guarantees these are inactive
+            if name == "MultiCrop":
+                continue  # plannable() guarantees it's inactive (eval path)
+            if name in self._PIXEL_OPS:
+                if not train:
+                    continue  # train-only no-ops
+                # rng consumption must exactly mirror __call__'s PIL path
+                if name == "ColorJitter":
+                    cj: list[tuple] = []
+                    for kind, span in (("brightness", kw.get("brightness", 0.0)),
+                                       ("contrast", kw.get("contrast", 0.0)),
+                                       ("saturation", kw.get("saturation", 0.0))):
+                        if span:
+                            cj.append((kind, float(rng.uniform(
+                                max(0.0, 1 - span), 1 + span))))
+                    if kw.get("hue", 0.0):
+                        return None  # plannable() gates this; be safe
+                    for i in rng.permutation(len(cj)):
+                        steps.append(cj[int(i)])
+                elif name == "RandomGrayscale":
+                    if rng.rand() < kw.get("p", 0.1):
+                        steps.append(("grayscale",))
+                elif name == "GaussianBlur":
+                    if rng.rand() < kw.get("p", 1.0):
+                        sigma = kw.get("sigma", (0.1, 2.0))
+                        lo, hi = ((sigma, sigma)
+                                  if isinstance(sigma, (int, float)) else sigma)
+                        steps.append(("blur", float(rng.uniform(lo, hi))))
+                continue
             if name == "Resize":
                 th, tw = self._size2d(kw.get("size", 224))
                 steps.append(("resize", tw, th, 0))
@@ -316,6 +344,11 @@ class HostTransform:
     def apply_plan_pil(img: Image.Image, steps) -> np.ndarray:
         """Execute a geometry plan through PIL (per-sample fallback when the
         native loader reports a decode it can't handle)."""
+        from PIL import ImageEnhance, ImageFilter, ImageOps
+
+        enhancers = {"brightness": ImageEnhance.Brightness,
+                     "contrast": ImageEnhance.Contrast,
+                     "saturation": ImageEnhance.Color}
         for step in steps:
             if step[0] == "crop":
                 _, left, top, cw, ch = step
@@ -326,6 +359,12 @@ class HostTransform:
                     (tw, th), Image.BICUBIC if filt == 1 else Image.BILINEAR)
             elif step[0] == "flip":
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            elif step[0] in enhancers:
+                img = enhancers[step[0]](img).enhance(step[1])
+            elif step[0] == "grayscale":
+                img = ImageOps.grayscale(img).convert("RGB")
+            elif step[0] == "blur":
+                img = img.filter(ImageFilter.GaussianBlur(radius=step[1]))
         arr = np.asarray(img, dtype=np.uint8)
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)

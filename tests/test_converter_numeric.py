@@ -302,3 +302,81 @@ def test_densenet_converted_forward_matches_torch(rng):
         {"params": tree["params"], "batch_stats": tree["batch_stats"]},
         jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# HF vision towers (clip/siglip2/metaclip2/openclip): torch transformers →
+# flax wrapper conversion (net.py:335-408, hugging_face_models.py:6-24)
+# --------------------------------------------------------------------------
+
+_TINY_HF = dict(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+                image_size=32, patch_size=16, intermediate_size=64)
+
+
+def _tiny_variant(monkeypatch, kind):
+    """Register a tiny test variant so the wrapper itself (scope nesting,
+    NHWC plumbing, normalize flag) is what's under test."""
+    from irw_tpu.models import hf_wrapper
+
+    name = f"_test_tiny_{kind}"
+    monkeypatch.setitem(hf_wrapper.HF_DEFAULT_CONFIGS, name,
+                        dict(kind=kind, **_TINY_HF))
+    return name
+
+
+@pytest.mark.parametrize("kind,torch_cls", [("clip", "CLIPVisionModel"),
+                                            ("vit", "ViTModel")])
+def test_hf_tower_converted_forward_matches_torch(monkeypatch, rng, kind, torch_cls):
+    import transformers
+
+    from irw_tpu.models.hf_wrapper import HuggingFaceVisionWrapper, build_hf_config
+    from tools.convert_torch_weights import convert_hf_vision
+
+    variant = _tiny_variant(monkeypatch, kind)
+    cfg = build_hf_config(variant)
+    tm = getattr(transformers, torch_cls)(cfg).eval()
+    tree = convert_hf_vision(tm.state_dict(), variant)
+
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        t_pooled = tm(pixel_values=torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).pooler_output.numpy()
+
+    wrapper = HuggingFaceVisionWrapper(variant=variant, normalize=False)
+    f_pooled, aux = wrapper.apply(tree, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(f_pooled), t_pooled, atol=2e-5)
+    assert float(aux["ortho_loss"]) == 0.0
+
+    # the retrieval-facing configuration L2-normalizes the pooled output
+    wrapper_n = HuggingFaceVisionWrapper(variant=variant, normalize=True)
+    f_norm, _ = wrapper_n.apply(tree, jnp.asarray(x), train=False)
+    t_norm = t_pooled / np.linalg.norm(t_pooled, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(f_norm), t_norm, atol=2e-5)
+
+
+def test_hf_converted_tree_structure_matches_wrapper_init(monkeypatch, rng):
+    """The converted tree must be loadable where a fresh wrapper init is —
+    identical key paths and shapes (so factory-built clip/siglip2/metaclip2
+    models restore it without surgery)."""
+    import jax
+    import transformers
+
+    from irw_tpu.models.hf_wrapper import HuggingFaceVisionWrapper, build_hf_config
+    from tools.convert_torch_weights import convert_hf_vision
+
+    variant = _tiny_variant(monkeypatch, "clip")
+    tm = transformers.CLIPVisionModel(build_hf_config(variant))
+    tree = convert_hf_vision(tm.state_dict(), variant)
+
+    wrapper = HuggingFaceVisionWrapper(variant=variant)
+    init_tree = jax.eval_shape(
+        lambda: wrapper.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 32, 32, 3), jnp.float32)))
+
+    def paths(t):
+        return {
+            "/".join(str(getattr(p, "key", p)) for p in path): tuple(l.shape)
+            for path, l in jax.tree_util.tree_leaves_with_path(t)
+        }
+
+    assert paths(tree) == paths(init_tree)

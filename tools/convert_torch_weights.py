@@ -192,12 +192,48 @@ def stack_scanned_blocks(params: dict, depth: int) -> dict:
     return params
 
 
+def convert_hf_vision(sd: dict, variant: str = "clip_vit_b16", **config_overrides) -> dict:
+    """torch ``transformers`` vision-tower state dict (CLIPVisionModel /
+    ViTModel — the towers the reference pulls at runtime for
+    clip/siglip2/metaclip2/openclip, net.py:335-408,
+    hugging_face_models.py:6-24) → ``HuggingFaceVisionWrapper`` params.
+
+    Uses transformers' own torch→flax key/transpose rules against the SAME
+    config object the wrapper builds (hf_wrapper.build_hf_config), so the
+    converted tree is structurally guaranteed to load; numeric forward
+    parity is asserted in tests/test_converter_numeric.py."""
+    import torch
+
+    from transformers.modeling_flax_pytorch_utils import (
+        convert_pytorch_state_dict_to_flax,
+    )
+
+    from irw_tpu.models.hf_wrapper import build_hf_flax_model
+
+    flax_model = build_hf_flax_model(variant, do_init=True, **config_overrides)
+    sd = {k: (v if isinstance(v, torch.Tensor) else torch.as_tensor(v))
+          for k, v in sd.items()}
+    params = convert_pytorch_state_dict_to_flax(sd, flax_model)
+    # the wrapper nests the tower module under scope "tower"
+    return {"params": {"tower": _to_numpy_tree(params)}}
+
+
+def _to_numpy_tree(tree):
+    if isinstance(tree, dict):
+        return {k: _to_numpy_tree(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+HF_KINDS = ("clip_vit_b32", "clip_vit_b16", "vit_b16_hf", "siglip2", "metaclip2")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--kind", required=True,
                         choices=["resnet18", "resnet50", "resnet101",
                                  "densenet121",
-                                 "dinov2_vits14", "dinov2_vitb14"])
+                                 "dinov2_vits14", "dinov2_vitb14",
+                                 *HF_KINDS])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--scan", action="store_true",
@@ -216,6 +252,8 @@ def main():
         tree = convert_resnet(sd, sizes, bottleneck=args.kind != "resnet18")
     elif args.kind == "densenet121":
         tree = convert_densenet(sd)
+    elif args.kind in HF_KINDS:
+        tree = convert_hf_vision(sd, variant=args.kind)
     else:
         tree = convert_dinov2(sd)
         if args.scan:
