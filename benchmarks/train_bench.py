@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(batch_size: int, frozen: bool, sub_batch=None, flash=False,
-          remat_policy=None, fused_qkv=False):
+          remat_policy=None, fused_qkv=False, split_cls=False):
     import jax
     import optax
 
@@ -50,6 +50,8 @@ def build(batch_size: int, frozen: bool, sub_batch=None, flash=False,
         vit_kwargs["use_flash"] = True
     if fused_qkv:
         vit_kwargs["fused_qkv"] = True
+    if split_cls:
+        vit_kwargs["split_cls"] = True
     model = get_model(
         "multidino_attention_hashing_ortho",
         backbone="dinov2_vits14",
@@ -134,6 +136,8 @@ def main():
                         help="selective checkpointing policy for scanned blocks")
     parser.add_argument("--fused-qkv", action="store_true",
                         help="single fused QKV matmul in attention")
+    parser.add_argument("--split-cls", action="store_true",
+                        help="lane-aligned CLS-split attention (seq 257->256+1)")
     parser.add_argument("--flash", action="store_true",
                         help="Pallas flash attention + fused QKV projection")
     parser.add_argument("--iters", type=int, default=10)
@@ -150,7 +154,8 @@ def main():
                                         sub_batch=args.sub_batch,
                                         flash=args.flash,
                                         remat_policy=args.remat_policy,
-                                        fused_qkv=args.fused_qkv)
+                                        fused_qkv=args.fused_qkv,
+                                        split_cls=args.split_cls)
     dt, loss0, compile_s = measure(step, state, batch, entries, args.batch,
                                    args.iters)
     ips = args.batch / dt
@@ -168,6 +173,7 @@ def main():
           + (", flash" if args.flash else "")
           + (f", policy={args.remat_policy}" if args.remat_policy else "")
           + (", fused_qkv" if args.fused_qkv else "")
+          + (", split_cls" if args.split_cls else "")
           + f"]: {dt*1000:.1f} ms/step -> {ips:.0f} img/s"
           f" | MFU {mfu*100:.1f}% of {label}"
           f" ({flops_per_img/1e9:.1f} GFLOP/img analytic)"

@@ -39,6 +39,34 @@ def wait_for_checkpoints() -> None:
         _ASYNC_CKPTR.wait_until_finished()
 
 
+def _promote_rolling(base: str) -> None:
+    """Promote a committed ``rolling.next`` async save to ``rolling``.
+
+    Async saves never touch ``rolling`` directly: orbax's ``force=True``
+    deletes the destination synchronously BEFORE the async write commits,
+    so a crash mid-write would destroy the only good checkpoint (the
+    crash-window bug tests/test_engine.py::test_async_checkpoint_crash_window
+    guards).  Instead the async writer targets ``rolling.next`` (itself
+    committed atomically by orbax via tmp-dir + rename) and this promotion
+    runs the two-rename dance; every intermediate crash state leaves at
+    least one complete checkpoint for ``load_checkpoint``'s fallback scan.
+    """
+    import shutil
+
+    nxt = os.path.join(base, "rolling.next")
+    cur = os.path.join(base, "rolling")
+    old = os.path.join(base, "rolling.old")
+    if not os.path.exists(nxt):
+        return
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(cur):
+        os.rename(cur, old)
+    os.rename(nxt, cur)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def save_checkpoint(
     log_dir: str,
     state,
@@ -73,11 +101,22 @@ def save_checkpoint(
     if async_save:
         ckptr = _async_checkpointer()
         ckptr.wait_until_finished()
-        ckptr.save(path, payload, force=True)
+        _promote_rolling(base)  # commit the previous async save first
+        # write to rolling.next, NOT rolling: force=True would delete the
+        # last good checkpoint before the async write commits (crash window)
+        ckptr.save(path + ".next", payload, force=True)
         if epoch_path:
             ckptr.wait_until_finished()
+            _promote_rolling(base)
             ckptr.save(epoch_path, payload, force=True)
     else:
+        import shutil
+
+        # a stale rolling.next (crashed async run) must not shadow this
+        # newer synchronous save at the next load's promotion scan
+        nxt = path + ".next"
+        if os.path.exists(nxt):
+            shutil.rmtree(nxt)
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(path, payload, force=True)
             if epoch_path:
@@ -91,9 +130,17 @@ def load_checkpoint(log_dir: str, template=None):
     checkpoint exists (the maybe_resume probe,
     single_experiment_runner.py:58-68)."""
     wait_for_checkpoints()  # never read a half-written async save
-    path = os.path.join(_ckpt_dir(log_dir), "rolling")
+    base = _ckpt_dir(log_dir)
+    _promote_rolling(base)  # adopt a committed rolling.next if one exists
+    path = os.path.join(base, "rolling")
     if not os.path.exists(path):
-        return None
+        # crash between the promotion renames: fall back to the displaced
+        # previous save
+        old = os.path.join(base, "rolling.old")
+        if os.path.exists(old):
+            os.rename(old, path)
+        else:
+            return None
     with ocp.PyTreeCheckpointer() as ckptr:
         if template is not None:
             # orbax needs a structurally-matching template for every

@@ -29,6 +29,7 @@ for accuracy parity with pretrained runs).
 from __future__ import annotations
 
 import math
+from functools import partial
 
 from typing import Optional
 
@@ -145,6 +146,70 @@ class FusedMHA(nn.Module):
         return ctx @ ok.reshape(h * hd, d).astype(self.dtype) + ob.astype(self.dtype)
 
 
+class SplitCLSMHA(nn.Module):
+    """Self-attention in lane-aligned blocks for ViT's N = 256 + 1 tokens.
+
+    At seq 257 the (B, H, N, N) score/softmax/AV tensors pad 257→384 lanes
+    on the TPU (+49% attention work — the round-1/2 BASELINE.md note).
+    Splitting the CLS token off leaves a (256, 256) core that tiles the
+    MXU/VPU exactly, plus rank-1 row/column corrections folded back through
+    a streamed (two-block) softmax.  Param tree matches flax
+    MultiHeadDotProductAttention bit-for-bit; outputs match to float
+    reassociation tolerance (exact when dropout = 0).
+    """
+
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y, train: bool = False):
+        b, n, d = y.shape
+        h = self.num_heads
+        hd = d // h
+        dg = partial(nn.DenseGeneral, features=(h, hd), axis=-1,
+                     dtype=self.dtype)
+        q = dg(name="query")(y) / math.sqrt(hd)
+        k = dg(name="key")(y)
+        v = dg(name="value")(y)
+        # (B, N, H, hd) → (B, H, N, hd)
+        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (q, k, v))
+        qc, qp = q[:, :, :1], q[:, :, 1:]
+        kc, kp = k[:, :, :1], k[:, :, 1:]
+        vc, vp = v[:, :, :1], v[:, :, 1:]
+
+        def softmax_blocks(s_core, s_extra):
+            """softmax over concat([s_extra, s_core], -1) without forming
+            the unaligned concat; returns (w_extra, w_core)."""
+            m = jnp.maximum(jnp.max(s_core, axis=-1, keepdims=True),
+                            jnp.max(s_extra, axis=-1, keepdims=True))
+            e_core = jnp.exp(s_core - m)
+            e_extra = jnp.exp(s_extra - m)
+            denom = (jnp.sum(e_core, axis=-1, keepdims=True)
+                     + jnp.sum(e_extra, axis=-1, keepdims=True))
+            return e_extra / denom, e_core / denom
+
+        # patch rows: scores vs [CLS | patches]
+        s_pp = jnp.einsum("bhqd,bhkd->bhqk", qp, kp)      # (B,H,256,256)
+        s_pc = jnp.einsum("bhqd,bhkd->bhqk", qp, kc)      # (B,H,256,1)
+        w_pc, w_pp = softmax_blocks(s_pp, s_pc)
+        # CLS row: scores vs [CLS | patches]
+        s_cp = jnp.einsum("bhqd,bhkd->bhqk", qc, kp)      # (B,H,1,256)
+        s_cc = jnp.einsum("bhqd,bhkd->bhqk", qc, kc)      # (B,H,1,1)
+        w_cc, w_cp = softmax_blocks(s_cp, s_cc)
+
+        if self.dropout > 0.0 and train:
+            drop = nn.Dropout(self.dropout, deterministic=False)
+            w_pp, w_pc, w_cp, w_cc = (drop(w) for w in (w_pp, w_pc, w_cp, w_cc))
+
+        out_p = (jnp.einsum("bhqk,bhkd->bhqd", w_pp, vp) + w_pc * vc)
+        out_c = (jnp.einsum("bhqk,bhkd->bhqd", w_cp, vp) + w_cc * vc)
+        ctx = jnp.concatenate([out_c, out_p], axis=2)      # (B,H,N,hd)
+        ctx = jnp.swapaxes(ctx, 1, 2)                      # (B,N,H,hd)
+        return nn.DenseGeneral(features=d, axis=(-2, -1), dtype=self.dtype,
+                               name="out")(ctx)
+
+
 def _flash_mha(y, num_heads: int, dtype, name: str):
     """Multi-head self-attention through the Pallas flash-attention kernel
     (jax.experimental.pallas.ops.tpu.flash_attention): no materialised
@@ -184,6 +249,7 @@ class Block(nn.Module):
     num_domains: int = 1
     use_flash: bool = False
     fused_qkv: bool = False  # single fused QKV matmul (param-tree identical)
+    split_cls: bool = False  # lane-aligned CLS-split attention (same params)
     exact_gelu: bool = False  # erf GELU for converted-torch-weight parity
     dtype: jnp.dtype = jnp.float32
 
@@ -193,6 +259,9 @@ class Block(nn.Module):
         y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm1")(x, domain)
         if self.use_flash:
             attn_out = _flash_mha(y, self.num_heads, self.dtype, name="attn")
+        elif self.split_cls:
+            attn_out = SplitCLSMHA(self.num_heads, dropout=self.dropout,
+                                   dtype=self.dtype, name="attn")(y, train=train)
         elif self.fused_qkv:
             attn_out = FusedMHA(self.num_heads, dropout=self.dropout,
                                 dtype=self.dtype, name="attn")(y, train=train)
@@ -205,12 +274,19 @@ class Block(nn.Module):
                 name="attn",
             )
             attn_out = attn(y, y)
-        ls1 = self.param("ls1", nn.initializers.constant(self.layerscale_init), (dim,))
+        # LayerScale params live in f32 but multiply in the compute dtype:
+        # otherwise the residual stream silently upcasts to f32 and the
+        # scanned-block saved carry doubles its bytes — profiled as
+        # f32[12,4,48,257,384] ≈ 9.1 GB of backward HBM reads
+        # (benchmarks/profile_train.py, round 3)
+        ls1 = self.param("ls1", nn.initializers.constant(self.layerscale_init),
+                         (dim,)).astype(self.dtype)
         x = x + attn_out * ls1
         y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm2")(x, domain)
         mlp_out = Mlp(int(dim * self.mlp_ratio), dim, self.dropout,
                       exact_gelu=self.exact_gelu, dtype=self.dtype)(y, train=train)
-        ls2 = self.param("ls2", nn.initializers.constant(self.layerscale_init), (dim,))
+        ls2 = self.param("ls2", nn.initializers.constant(self.layerscale_init),
+                         (dim,)).astype(self.dtype)
         x = x + mlp_out * ls2
         return x
 
@@ -237,6 +313,7 @@ class VisionTransformer(nn.Module):
     # whole block), "nothing" is classic full remat.  None = full remat.
     use_flash: bool = False  # Pallas flash attention (TPU only)
     fused_qkv: bool = False  # fuse q/k/v into one matmul (same param tree)
+    split_cls: bool = False  # lane-aligned CLS-split attention (same param tree)
     exact_gelu: bool = False  # erf GELU (torch parity); default tanh approx
     dtype: jnp.dtype = jnp.float32
 
@@ -268,6 +345,11 @@ class VisionTransformer(nn.Module):
             # insert prompt tokens after CLS (multi_dino_attention.py:578-581)
             tokens = jnp.concatenate([tokens[:, :1], prompts, tokens[:, 1:]], axis=1)
 
+        # keep the residual stream in the compute dtype: the f32 cls/pos
+        # params upcast the tokens otherwise, and every scanned block then
+        # saves an f32 carry (2× backward HBM traffic — see Block.ls note)
+        tokens = tokens.astype(self.dtype)
+
         features = []
         block_kw = dict(
             num_heads=self.num_heads,
@@ -276,6 +358,7 @@ class VisionTransformer(nn.Module):
             num_domains=self.num_domains,
             use_flash=self.use_flash,
             fused_qkv=self.fused_qkv,
+            split_cls=self.split_cls,
             exact_gelu=self.exact_gelu,
             dtype=self.dtype,
         )

@@ -659,3 +659,56 @@ def test_landmark_vectorized_matches_scalar_oracle():
             aps.append(_ap_for_query(orders[qi], pos, jnk))
         expected = float(np.mean(aps)) if aps else 0.0
         assert abs(out[f"map_{protocol}"] - expected) < 1e-5, protocol
+
+
+def test_async_checkpoint_crash_window(tmp_path):
+    """Kill the process while an async rolling save is in flight: the
+    on-disk checkpoint must be either the previous complete save or the
+    new complete save — never torn (orbax commits via tmp-dir + rename).
+    VERDICT r2 #9: the crash-window case the roundtrip test didn't cover."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(f"""
+        import jax; jax.config.update("jax_platforms", "cpu")
+        import os, numpy as np, optax
+        from irw_tpu.data import SyntheticDataset
+        from irw_tpu.engine.optimizers import build_optimizers
+        from irw_tpu.engine.checkpoint import save_checkpoint
+        from irw_tpu.getter import init_train_state
+        from irw_tpu.losses import build_losses
+        from irw_tpu.models import get_model
+
+        model = get_model("dino_hash_baseline", backbone="vit_tiny", nbits=8)
+        losses = build_losses([{{"name": "SupAP", "weight": 1.0}}])
+        rng = np.random.RandomState(0)
+        batch = {{"image": rng.rand(4, 32, 32, 3).astype(np.float32),
+                 "label": np.arange(4), "index": np.arange(4)}}
+        entries = build_optimizers(
+            [{{"name": "AdamW", "params": None, "kwargs": {{"lr": 1e-3}}}}],
+            model.init({{"params": jax.random.PRNGKey(0),
+                       "dropout": jax.random.PRNGKey(1),
+                       "band_drop": jax.random.PRNGKey(2)}},
+                      batch["image"], train=True)["params"])
+        state = init_train_state(model, losses, entries, optax.adamw(1e-3), batch)
+        # epoch 1: committed synchronously (the known-good rolling save)
+        save_checkpoint({str(tmp_path)!r}, state, {{"e": 1}}, epoch=1)
+        # epoch 2: async save, then die immediately — mid-flight window
+        save_checkpoint({str(tmp_path)!r}, state, {{"e": 2}}, epoch=2,
+                        async_save=True)
+        os._exit(1)   # no atexit, no orbax wait: simulates a crash
+    """)
+    proc = subprocess.run([sys.executable, "-c", script],
+                          cwd="/root/repo", capture_output=True, text=True)
+    assert proc.returncode == 1, proc.stderr[-2000:]
+
+    from irw_tpu.engine.checkpoint import load_checkpoint
+
+    out = load_checkpoint(str(tmp_path))
+    assert out is not None, "crash destroyed the previous rolling checkpoint"
+    restored, meta = out
+    # either the old complete save or the new complete save — never torn
+    assert meta["epoch"] in (1, 2)
+    leaves = jax.tree_util.tree_leaves(restored["params"])
+    assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)

@@ -303,3 +303,40 @@ def test_vit_fused_qkv_same_params_and_forward():
     out_b, _ = base.apply(variables, x, train=False)
     out_f, _ = fused.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_f), atol=1e-6)
+
+
+def test_split_cls_attention_matches_default(rng):
+    """SplitCLSMHA (lane-aligned 256+1 attention) shares flax MHA's param
+    tree and reproduces its output — bit-exact at dropout 0."""
+    from irw_tpu.models.vit import Block
+
+    x = jnp.asarray(rng.randn(2, 257, 64), jnp.float32)
+    base = Block(num_heads=4)
+    split = Block(num_heads=4, split_cls=True)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x)
+    out_base = base.apply(variables, x)
+    out_split = split.apply(variables, x)  # same params, different path
+    np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_split),
+                               atol=1e-6)
+    # prompt-token counts (SharedDino prompts) change N: still correct
+    x2 = jnp.asarray(rng.randn(2, 10, 64), jnp.float32)
+    v2 = base.init({"params": jax.random.PRNGKey(1)}, x2)
+    np.testing.assert_allclose(np.asarray(base.apply(v2, x2)),
+                               np.asarray(split.apply(v2, x2)), atol=1e-5)
+
+
+def test_split_cls_full_vit_matches_default(rng):
+    """End-to-end ViT forward with split_cls == default (shared params),
+    including under scan_blocks."""
+    from irw_tpu.models.vit import VisionTransformer
+
+    x = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    base = VisionTransformer(embed_dim=64, depth=2, num_heads=4, patch_size=8,
+                             scan_blocks=True)
+    split = VisionTransformer(embed_dim=64, depth=2, num_heads=4, patch_size=8,
+                              scan_blocks=True, split_cls=True)
+    variables = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out_base, _ = base.apply(variables, x, train=False)
+    out_split, _ = split.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_split),
+                               atol=1e-5)
