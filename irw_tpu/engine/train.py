@@ -14,7 +14,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections import deque
 from typing import Any
 
 import jax
@@ -296,12 +295,14 @@ def train(
 
         meters = DictAverage()
         data_time = step_time = 0.0  # phase timing (reference train.py:199-208)
-        # Bounded async pipeline: fetching each step's metrics immediately
-        # would block the host on that step's completion and serialize
-        # dispatch; unbounded lookahead would pile every epoch batch into
-        # HBM.  A 2-deep in-flight window (double buffering) keeps the
-        # device busy while capping resident batches.
-        inflight: deque = deque()
+        # Device-side metric accumulation: fetching each step's metrics
+        # costs one host↔device roundtrip per step, which on a
+        # high-latency link (the axon tunnel) dominates the step itself
+        # (measured 0.77 s/step wall vs 0.35 s device).  Instead the scalar
+        # metrics are summed on device with tiny async adds and fetched
+        # ONCE per epoch — dispatch never blocks on the tunnel.
+        metric_sums = None
+        n_metric_steps = 0
         t_mark = time.time()
         for batch in loader:
             data_time += time.time() - t_mark
@@ -316,15 +317,15 @@ def train(
                 hyper = jax.device_put(hyper, repl)
             t_step = time.time()
             state, metrics = step_fn(state, batch, hyper)
-            inflight.append(metrics)
-            if len(inflight) > 2:
-                fetched = jax.device_get(inflight.popleft())
-                meters.update({k: float(v) for k, v in fetched.items()})
+            metric_sums = (metrics if metric_sums is None else
+                           jax.tree_util.tree_map(jnp.add, metric_sums, metrics))
+            n_metric_steps += 1
             step_time += time.time() - t_step
             t_mark = time.time()
-        while inflight:
-            fetched = jax.device_get(inflight.popleft())
-            meters.update({k: float(v) for k, v in fetched.items()})
+        if metric_sums is not None:
+            fetched = jax.device_get(metric_sums)
+            meters.update({k: float(v) / n_metric_steps
+                           for k, v in fetched.items()})
 
         if profiling:
             jax.block_until_ready(state.params)

@@ -31,6 +31,37 @@ def read_last_metrics(run_dir: str) -> dict:
     return last
 
 
+def read_tensorboard_scalars(run_dir: str) -> dict:
+    """Last value of every scalar in a run's TensorBoard event files —
+    the reference aggregated OLD runs this way
+    (studies/aggregate_results.py:51-62 `read_last_scalar` via
+    EventAccumulator); this restores that path so pre-existing reference
+    run directories (or ours, which also write TB) aggregate without a
+    metrics.jsonl."""
+    try:
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator,
+        )
+    except Exception:
+        return {}
+    event_files = glob.glob(os.path.join(run_dir, "**", "events.out.tfevents.*"),
+                            recursive=True)
+    if not event_files:
+        return {}
+    out: dict = {}
+    for base in sorted({os.path.dirname(p) for p in event_files}):
+        try:
+            acc = EventAccumulator(base, size_guidance={"scalars": 0})
+            acc.Reload()
+            for tag in acc.Tags().get("scalars", []):
+                events = acc.Scalars(tag)
+                if events:
+                    out[tag.replace("/", "_")] = float(events[-1].value)
+        except Exception:
+            continue
+    return out
+
+
 def read_config(run_dir: str) -> dict:
     """Config from the rolling checkpoint (the reference recovers swept
     values the same way, aggregate_results.py:44-48)."""
@@ -49,6 +80,8 @@ def collect_runs(log_dir: str, study_prefix: str):
     runs = []
     for run_dir in sorted(glob.glob(os.path.join(log_dir, f"{study_prefix}*"))):
         metrics = read_last_metrics(run_dir)
+        if not metrics:  # no metrics.jsonl: fall back to TensorBoard scalars
+            metrics = read_tensorboard_scalars(run_dir)
         if metrics:
             runs.append((run_dir, metrics))
     return runs

@@ -230,3 +230,23 @@ def test_image_folder_infers_num_classes(tmp_path, monkeypatch):
     assert config.dataset["num_classes"] == 3
     assert config.loss[0]["kwargs"]["num_classes"] == 3
     assert "map_level0" in metrics["test"]
+
+
+def test_aggregate_results_tensorboard_fallback(tmp_path):
+    """A run directory with only TensorBoard event files (the reference's
+    old-run format, studies/aggregate_results.py:51-62) aggregates without
+    a metrics.jsonl."""
+    from torch.utils.tensorboard import SummaryWriter
+
+    run_dir = tmp_path / "tbstudy_seed=1_x=0"
+    writer = SummaryWriter(str(run_dir / "tb"))
+    for step, val in ((1, 0.3), (2, 0.55)):
+        writer.add_scalar("test/map_level0", val, step)
+    writer.close()
+
+    from studies.aggregate_results import collect_runs, read_tensorboard_scalars
+
+    scalars = read_tensorboard_scalars(str(run_dir))
+    assert abs(scalars["test_map_level0"] - 0.55) < 1e-6  # last value wins
+    runs = collect_runs(str(tmp_path), "tbstudy")
+    assert len(runs) == 1 and "test_map_level0" in runs[0][1]
