@@ -370,16 +370,24 @@ def train(
             results = run_eval(state, fast_subset)
             logger.log(epoch, results, prefix="fast_eval/")
 
-        save_checkpoint(
-            log_dir,
-            state,
-            config if isinstance(config, dict) else dict(config),
-            epoch,
-            score=score,
-            best_score=best_score if best_score > -float("inf") else None,
-            save_model_every=save_model_every,
-            async_save=bool(exp.get("async_checkpoint", True)),
-        )
+        # ``checkpoint_freq``: rolling-save cadence (default 1 = the
+        # reference's every-epoch rolling.ckpt, chepoint.py:57).  The save
+        # synchronously fetches the full ~1 GB train state device→host —
+        # ~60 s over the axon dev tunnel — so long studies on the dev
+        # tunnel set 5 (aligned with eval_freq); the final epoch always
+        # saves so finished-run guards see max_iter.
+        ckpt_freq = max(int(exp.get("checkpoint_freq", 1) or 1), 1)
+        if epoch % ckpt_freq == 0 or epoch == max_iter:
+            save_checkpoint(
+                log_dir,
+                state,
+                config if isinstance(config, dict) else dict(config),
+                epoch,
+                score=score,
+                best_score=best_score if best_score > -float("inf") else None,
+                save_model_every=save_model_every,
+                async_save=bool(exp.get("async_checkpoint", True)),
+            )
 
     wait_for_checkpoints()  # commit the final rolling save before returning
     return state, metrics_by_split
