@@ -66,6 +66,9 @@ def load_and_evaluate(run_dir, eval_set="test", batch_size=256, num_workers=8,
 
 
 def main():
+    from irw_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--run", required=True, help="run directory (contains weights/)")
     parser.add_argument("--set", default="test")

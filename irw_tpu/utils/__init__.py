@@ -17,6 +17,7 @@ from irw_tpu.utils.freezing import (
 )
 from irw_tpu.utils.misc import (
     count_parameters,
+    enable_compile_cache,
     expand_path,
     format_time,
     override_config,
@@ -34,6 +35,7 @@ __all__ = [
     "freeze_backbone",
     "combine",
     "count_parameters",
+    "enable_compile_cache",
     "expand_path",
     "format_time",
     "override_config",

@@ -8,6 +8,30 @@ def expand_path(path: str) -> str:
     return os.path.abspath(os.path.expandvars(os.path.expanduser(str(path))))
 
 
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Point JAX at the repo-local persistent compilation cache.
+
+    Study jobs otherwise pay the full multi-minute XLA compile on every
+    launch — including exact relaunches of the same program (observed
+    ~15 min per protocol job through the axon remote-compile service).
+    Entry points call this before the first trace; repeat programs and
+    the λ-independent eval/kNN executables then hit the on-disk cache.
+    Idempotent and safe to call after jax is imported.
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            ".jax_cache",
+        )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:  # pragma: no cover - older jax without the knob
+        pass
+
+
 def format_time(seconds: float) -> str:
     seconds = int(seconds)
     h, rem = divmod(seconds, 3600)

@@ -26,6 +26,9 @@ from irw_tpu.utils import LOGGER
 
 
 def run(config, base_config=None, checkpoint_dir=None, splits=None):
+    from irw_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     if isinstance(config, dict) and not isinstance(config, Config):
         config = Config(config)
     exp = config.experience
