@@ -241,6 +241,27 @@ def _flash_mha(y, num_heads: int, dtype, name: str):
     return nn.Dense(d, dtype=dtype, name=f"{name}_out")(out)
 
 
+def _tagged_attention_fn(query, key, value, bias=None, mask=None,
+                         broadcast_dropout=True, dropout_rng=None,
+                         dropout_rate=0.0, deterministic=False, dtype=None,
+                         precision=None, module=None, **_unused):
+    """flax dot_product_attention with the softmax output tagged
+    ``attn_probs`` (jax.ad_checkpoint.checkpoint_name), so a remat policy
+    can pin the probabilities resident and skip the QKᵀ+softmax recompute
+    in backward.  Numerically identical to the stock attention."""
+    from flax.linen.attention import dot_product_attention_weights
+    from jax.ad_checkpoint import checkpoint_name
+
+    weights = dot_product_attention_weights(
+        query, key, bias, mask, broadcast_dropout=broadcast_dropout,
+        dropout_rng=dropout_rng, dropout_rate=dropout_rate,
+        deterministic=deterministic, dtype=dtype, precision=precision,
+        module=module)
+    weights = checkpoint_name(weights, "attn_probs")
+    return jnp.einsum("...hqk,...khd->...qhd", weights, value,
+                      precision=precision)
+
+
 class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
@@ -251,6 +272,7 @@ class Block(nn.Module):
     fused_qkv: bool = False  # single fused QKV matmul (param-tree identical)
     split_cls: bool = False  # lane-aligned CLS-split attention (same params)
     exact_gelu: bool = False  # erf GELU for converted-torch-weight parity
+    tag_attn_probs: bool = False  # name-tag softmax output for remat policies
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -272,6 +294,8 @@ class Block(nn.Module):
                 deterministic=not train,
                 dtype=self.dtype,
                 name="attn",
+                **({"attention_fn": _tagged_attention_fn}
+                   if self.tag_attn_probs else {}),
             )
             attn_out = attn(y, y)
         # LayerScale params live in f32 but multiply in the compute dtype:
@@ -360,6 +384,11 @@ class VisionTransformer(nn.Module):
             fused_qkv=self.fused_qkv,
             split_cls=self.split_cls,
             exact_gelu=self.exact_gelu,
+            # name-tag the softmax output only when a *_attn policy will
+            # pin it — the name barrier is free numerically but can change
+            # XLA fusion decisions, so don't tag unconditionally
+            tag_attn_probs=bool(self.remat_policy)
+            and "attn" in str(self.remat_policy),
             dtype=self.dtype,
         )
         if self.scan_blocks and not return_features:
@@ -398,6 +427,24 @@ class VisionTransformer(nn.Module):
                     # save ALL residuals (zero recompute) — only fits small
                     # batches; lets the batch-vs-recompute tradeoff be swept
                     "everything": jax.checkpoint_policies.everything_saveable,
+                    # dots_no_batch + pin the tagged softmax probabilities
+                    # ((B,H,257,257) per block): backward skips the QKᵀ +
+                    # softmax recompute at the cost of keeping the probs
+                    # resident — the round-2 verdict's "remat policy that
+                    # saves attention probs" experiment
+                    "dots_no_batch_attn":
+                        jax.checkpoint_policies.save_from_both_policies(
+                            jax.checkpoint_policies
+                            .dots_with_no_batch_dims_saveable,
+                            jax.checkpoint_policies.save_only_these_names(
+                                "attn_probs")),
+                    # pin both the GELU output and the attention probs
+                    "dots_no_batch_gelu_attn":
+                        jax.checkpoint_policies.save_from_both_policies(
+                            jax.checkpoint_policies
+                            .dots_with_no_batch_dims_saveable,
+                            jax.checkpoint_policies.save_only_these_names(
+                                "mlp_act", "attn_probs")),
                 }
                 if self.remat_policy not in policies:
                     raise ValueError(

@@ -340,3 +340,43 @@ def test_split_cls_full_vit_matches_default(rng):
     out_split, _ = split.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_split),
                                atol=1e-5)
+
+
+def test_vit_attn_probs_remat_policy_same_forward_and_grads():
+    """The ``dots_no_batch_attn`` policy (pin tagged softmax probs) is a
+    memory-scheduling change only: outputs and gradients match the
+    untagged ``dots_no_batch`` ViT exactly, and an unknown policy name
+    still raises."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from irw_tpu.models.vit import VisionTransformer
+
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 16, 16, 3), jnp.float32)
+    kw = dict(embed_dim=32, depth=3, num_heads=2, patch_size=8,
+              scan_blocks=True, remat_blocks=True)
+    base = VisionTransformer(**kw, remat_policy="dots_no_batch")
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(m):
+        def f(p):
+            out, _ = m.apply({"params": p}, x, train=False)
+            return (out ** 2).sum()
+        return f
+
+    g_b = jax.grad(loss(base))(variables["params"])
+    out_b, _ = base.apply(variables, x, train=False)
+    for policy in ("dots_no_batch_attn", "dots_no_batch_gelu_attn"):
+        tagged = VisionTransformer(**kw, remat_policy=policy)
+        out_t, _ = tagged.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_t),
+                                   atol=1e-6)
+        g_t = jax.grad(loss(tagged))(variables["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(g_b),
+                        jax.tree_util.tree_leaves(g_t)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    with pytest.raises(ValueError, match="unknown remat_policy"):
+        VisionTransformer(**kw, remat_policy="dots_nobatch").init(
+            jax.random.PRNGKey(0), x, train=False)
