@@ -68,14 +68,16 @@ def run_jobs(jobs, n_parallel: int = 1, chips_per_job: int | None = None,
     as an explicit free pool (not the job's enumeration index): a job pops
     a free lane at launch and returns it when reaped, so out-of-order
     completions can never double-book a chip subset while others idle.
-    Returns the count of failed jobs.
+    Returns the failed jobs as (name, overrides) pairs so the caller can
+    re-run them (transient TPU/compile-service failures are a fact of
+    life over a dev tunnel; the reference's Ray launcher retried too).
     """
-    failures = 0
+    by_name = dict(jobs)
+    failed: list[tuple[str, list]] = []
     running: list[tuple[subprocess.Popen, str, int | None]] = []
     free_lanes = list(range(n_parallel))
 
     def reap(block: bool) -> None:
-        nonlocal failures
         while running and (block or any(p.poll() is not None for p, _, _ in running)):
             for item in list(running):
                 proc, name, lane = item
@@ -84,7 +86,7 @@ def run_jobs(jobs, n_parallel: int = 1, chips_per_job: int | None = None,
                     continue
                 if rc != 0:
                     print(f"  job {name} FAILED (rc={rc})")
-                    failures += 1
+                    failed.append((name, by_name[name]))
                 running.remove(item)
                 if lane is not None:
                     free_lanes.append(lane)
@@ -100,7 +102,7 @@ def run_jobs(jobs, n_parallel: int = 1, chips_per_job: int | None = None,
             rc = subprocess.run(cmd, check=False).returncode
             if rc != 0:
                 print(f"  job {name} FAILED (rc={rc})")
-                failures += 1
+                failed.append((name, overrides))
             continue
         while len(running) >= n_parallel:
             import time
@@ -116,7 +118,7 @@ def run_jobs(jobs, n_parallel: int = 1, chips_per_job: int | None = None,
             env["TPU_VISIBLE_DEVICES"] = ",".join(str(c) for c in chips)
         running.append((subprocess.Popen(cmd, env=env), name, lane))
     reap(block=True)
-    return failures
+    return failed
 
 
 def main():
@@ -129,16 +131,32 @@ def main():
     parser.add_argument("--chips-per-job", type=int, default=None,
                         help="pin each concurrent job to its own chip subset "
                              "via TPU_VISIBLE_DEVICES")
+    parser.add_argument("--retries", type=int, default=1,
+                        help="re-run failed jobs up to N extra passes; with "
+                             "experience.maybe_resume=true a retried job "
+                             "resumes from its rolling checkpoint instead "
+                             "of restarting (transient TPU/compile-service "
+                             "failures)")
     args = parser.parse_args()
 
     plan = load_plan(args.plan)
     jobs = expand_jobs(plan)
     print(f"study '{plan.get('study_name')}': {len(jobs)} jobs"
           + (f", {args.jobs} in parallel" if args.jobs > 1 else ""))
-    failures = run_jobs(jobs, n_parallel=args.jobs,
-                        chips_per_job=args.chips_per_job,
-                        dry_run=args.dry_run)
-    if failures:
+    pending = jobs
+    for attempt in range(args.retries + 1):
+        if attempt:
+            print(f"retry pass {attempt}/{args.retries}: "
+                  f"{len(pending)} failed job(s)")
+        pending = run_jobs(pending, n_parallel=args.jobs,
+                           chips_per_job=args.chips_per_job,
+                           dry_run=args.dry_run)
+        if not pending or args.dry_run:
+            break
+    if pending:
+        print(f"{len(pending)} job(s) still failing after "
+              f"{args.retries} retry pass(es): "
+              + ", ".join(name for name, _ in pending))
         sys.exit(1)
 
 

@@ -183,10 +183,39 @@ def test_run_plan_parallel_launcher_counts_failures(monkeypatch):
 
     monkeypatch.setattr(run_plan, "build_command", fake_cmd)
     jobs = [("a", ["ok=1"]), ("b", ["fail=1"]), ("c", ["ok=2"]), ("d", ["ok=3"])]
-    assert run_plan.run_jobs(jobs, n_parallel=2) == 1
+    assert [n for n, _ in run_plan.run_jobs(jobs, n_parallel=2)] == ["b"]
     assert len(calls) == 4
-    assert run_plan.run_jobs(jobs, n_parallel=1) == 1  # serial path too
-    assert run_plan.run_jobs(jobs, n_parallel=2, dry_run=True) == 0
+    failed = run_plan.run_jobs(jobs, n_parallel=1)  # serial path too
+    assert failed == [("b", ["fail=1"])]
+    assert run_plan.run_jobs(jobs, n_parallel=2, dry_run=True) == []
+
+
+def test_run_plan_retries_rerun_only_failed_jobs(tmp_path, monkeypatch):
+    """--retries re-runs just the failed jobs; a transient failure (fails
+    once, succeeds on retry) ends the study green.  This is the launcher
+    analogue of the reference's Ray retry behavior — a flaky dev-tunnel
+    TPU job must not torpedo a 5-job sweep."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "studies"))
+    import run_plan
+
+    plan = tmp_path / "plan.yaml"
+    plan.write_text(
+        "study_name: retry_demo\nbase_overrides: []\nsweep:\n  flaky: [0, 1]\n")
+
+    attempts: dict[str, int] = {}
+
+    def fake_cmd(overrides):
+        flaky = any(o.startswith("flaky=1") for o in overrides)
+        name = "flaky" if flaky else "stable"
+        attempts[name] = attempts.get(name, 0) + 1
+        fail = flaky and attempts[name] == 1
+        return [sys.executable, "-c",
+                "import sys; sys.exit(1)" if fail else "pass"]
+
+    monkeypatch.setattr(run_plan, "build_command", fake_cmd)
+    monkeypatch.setattr(sys, "argv", ["run_plan.py", str(plan), "--retries", "1"])
+    run_plan.main()  # exits 0: the retry pass recovered the flaky job
+    assert attempts == {"stable": 1, "flaky": 2}
 
 
 def test_image_folder_infers_num_classes(tmp_path, monkeypatch):
