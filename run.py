@@ -145,6 +145,7 @@ def run(config, base_config=None, checkpoint_dir=None, splits=None):
     )
 
     # resume (run.py:101-119,140-142)
+    resumed = False
     if exp.get("resume") or exp.get("maybe_resume"):
         restored = load_checkpoint(log_dir, template=jax.device_get(state))
         if restored is not None:
@@ -155,6 +156,19 @@ def run(config, base_config=None, checkpoint_dir=None, splits=None):
             if not isinstance(state, TrainState):
                 state = TrainState(**restored_state)
             LOGGER.info(f"resumed from epoch {meta['epoch']}")
+            resumed = True
+
+    # A crashed attempt that died before its first rolling save (or a plain
+    # re-run under the same experiment name) leaves a stale metrics.jsonl;
+    # MetricsLogger appends, so a fresh start would log duplicate steps and
+    # corrupt aggregation.  The reference never hit this because Hydra makes
+    # a fresh run dir per attempt (hydra.run.dir timestamping); our fixed
+    # experiment names reuse dirs, so rotate the stale file aside instead.
+    if not resumed:
+        stale = os.path.join(log_dir, "metrics.jsonl")
+        if os.path.exists(stale):
+            os.replace(stale, stale + ".stale")
+            LOGGER.info("rotated stale metrics.jsonl from a previous attempt")
 
     config_dict = config.to_dict() if hasattr(config, "to_dict") else dict(config)
 

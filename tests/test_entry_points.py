@@ -86,6 +86,43 @@ def test_plot_exemples_renders(finished_run, tmp_path):
     assert img.size[0] > 0 and img.size[1] > 0
 
 
+def test_fresh_start_rotates_stale_metrics(tmp_path):
+    """A crashed attempt that died before its first rolling save leaves a
+    stale metrics.jsonl under the (fixed-name) run dir; a fresh start with
+    maybe_resume finding no checkpoint must rotate it aside rather than
+    append duplicate steps (run.py).  The reference never hit this because
+    Hydra timestamps a fresh run dir per attempt."""
+    run_dir = tmp_path / "rot"
+    run_dir.mkdir()
+    (run_dir / "metrics.jsonl").write_text(
+        '{"step": 1, "train/total_loss": 9.9}\n'
+        '{"step": 2, "train/total_loss": 8.8}\n')
+    config = compose(
+        CONFIG_DIR,
+        "default",
+        [
+            "transform=dwt_small",
+            "experience.max_iter=1",
+            "experience.train_eval_freq=1",
+            "experience.step_per_epoch=2",
+            "experience.eval_bs=64",
+            "experience.num_workers=0",
+            "experience.maybe_resume=true",
+            "experience.experiment_name=rot",
+            f"experience.log_dir={tmp_path}",
+            "+experience.use_mesh=false",
+        ],
+    )
+    import run as run_module
+
+    run_module.run(config)
+    with open(run_dir / "metrics.jsonl") as f:
+        steps = [json.loads(line)["step"] for line in f
+                 if "train/total_loss" in line]
+    assert steps == sorted(set(steps)), "duplicate steps from stale attempt"
+    assert (run_dir / "metrics.jsonl.stale").exists()
+
+
 def test_synthetic_hashing_query_gallery_protocol():
     from irw_tpu.getter import Getter
 
