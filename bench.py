@@ -15,9 +15,22 @@ program is the conservative stand-in available in this image).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# Transient axon-backend init failures (observed: ``RuntimeError: Unable to
+# initialize backend 'axon': UNAVAILABLE``) must be retried from a FRESH
+# process — jax caches the failed backend for the life of the interpreter.
+# The outer process re-execs this script with bounded backoff and, if every
+# attempt fails, still emits one structured JSON line (rc=0) so the driver
+# records the failure instead of an empty BENCH file.
+_INNER_ENV = "IRW_BENCH_INNER"
+_RETRY_DELAYS = (30, 60, 120)  # seconds between attempts (4 attempts total)
+_TRANSIENT_MARKERS = ("UNAVAILABLE", "Unable to initialize backend",
+                      "DEADLINE_EXCEEDED", "failed to connect")
 
 
 def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=8,
@@ -159,6 +172,19 @@ def main():
             "train_ms_per_step_unfrozen": round(dt * 1000, 1),
             "train_mfu_unfrozen": round(3.0 * fwd_flops * train_ips / peak, 4),
         }
+        # first-time measurements of the round-3 attention-probs remat
+        # policies (commit 49c9d7a): also drop the tagged attention
+        # probabilities from the saved set
+        for pol in ("dots_no_batch_attn", "dots_no_batch_gelu_attn"):
+            try:
+                p_step, p_state, p_batch_d, p_entries = tb.build(
+                    t_batch, frozen=False, remat_policy=pol)
+                p_dt, _, _ = tb.measure(p_step, p_state, p_batch_d, p_entries,
+                                        t_batch, iters=5)
+                train_extras[f"train_ips_{pol}"] = round(t_batch / p_dt, 1)
+            except Exception as exc:
+                train_extras[f"train_ips_{pol}"] = None
+                train_extras[f"train_{pol}_error"] = repr(exc)[:160]
     except Exception as exc:  # keep the headline line robust
         train_extras = {"train_ips_unfrozen": None,
                         "train_bench_error": repr(exc)[:200]}
@@ -218,5 +244,48 @@ def main():
     }))
 
 
+def _run_with_retries() -> int:
+    """Re-exec the benchmark in child processes with bounded backoff.
+
+    Forwards the child's stdout verbatim on success.  On final failure
+    prints a structured error JSON line and returns 0 — the driver then
+    records the failure mode instead of an rc=1 with no JSON.
+    """
+    import subprocess
+
+    env = dict(os.environ, **{_INNER_ENV: "1"})
+    last_tail = ""
+    attempts = len(_RETRY_DELAYS) + 1
+    for attempt in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+            timeout=None,
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            sys.stdout.write(proc.stdout)
+            sys.stderr.write(proc.stderr[-2000:])
+            return 0
+        last_tail = (proc.stderr or proc.stdout or "")[-2000:]
+        transient = any(m in last_tail for m in _TRANSIENT_MARKERS)
+        if attempt < attempts - 1:
+            delay = _RETRY_DELAYS[attempt] if transient else _RETRY_DELAYS[attempt] // 2
+            print(f"bench attempt {attempt + 1}/{attempts} failed "
+                  f"(transient={transient}); retrying in {delay}s",
+                  file=sys.stderr)
+            time.sleep(delay)
+    print(json.dumps({
+        "metric": "flagship_swt_embed_throughput",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+        "error": last_tail[-800:],
+    }))
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get(_INNER_ENV):
+        main()
+    else:
+        sys.exit(_run_with_retries())

@@ -132,7 +132,8 @@ def main():
                         help="remat+scan micro-batching size")
     parser.add_argument("--remat-policy", default=None,
                         choices=["nothing", "dots", "dots_no_batch",
-                                 "dots_no_batch_gelu", "everything"],
+                                 "dots_no_batch_gelu", "dots_no_batch_attn",
+                                 "dots_no_batch_gelu_attn", "everything"],
                         help="selective checkpointing policy for scanned blocks")
     parser.add_argument("--fused-qkv", action="store_true",
                         help="single fused QKV matmul in attention")

@@ -62,9 +62,25 @@ class _ManifestMultiLabel(BaseDataset):
 
     num_classes = 0
 
+    #: candidate manifest stems per mode; first existing file wins.  The
+    #: DSCH-family layout (_data.py:58-61) names its gallery manifest
+    #: ``dbase.txt`` and its query manifest ``query.txt``.
+    _SPLIT_STEMS = {
+        "train": ("train",),
+        "query": ("test", "query"),
+        "test": ("test", "query"),
+        "gallery": ("database", "dbase"),
+        "database": ("database", "dbase"),
+    }
+
     def __init__(self, data_dir: str, mode: str = "train", img_dir: str = "", **kw):
-        split = {"train": "train", "query": "test", "test": "test",
-                 "gallery": "database", "database": "database"}[mode]
+        stems = self._SPLIT_STEMS[mode]
+        split = next(
+            (s for s in stems
+             if os.path.exists(os.path.join(data_dir, f"{s}_img.txt"))
+             or os.path.exists(os.path.join(data_dir, f"{s}.txt"))),
+            stems[0],
+        )
         img_file = os.path.join(data_dir, f"{split}_img.txt")
         lbl_file = os.path.join(data_dir, f"{split}_label.txt")
         paths, labels = [], []
@@ -97,3 +113,20 @@ class COCOHashing(_ManifestMultiLabel):
     """flikr_coco.py:67-120 — 80 classes."""
 
     num_classes = 80
+
+
+class NUSWIDEHashing(_ManifestMultiLabel):
+    """NUS-WIDE 21-class multi-label hashing dataset.
+
+    Reference: main/engine/DSCH/_data.py:33,79 (``nuswide`` → 21 classes,
+    eval top-k 5000 at :84); manifests are ``train/query/dbase.txt`` lines
+    of ``<file> <l0> ... <l20>`` with images under ``images/``
+    (_data.py:44-61).
+    """
+
+    num_classes = 21
+    default_topk = 5000
+
+    def __init__(self, data_dir: str, mode: str = "train",
+                 img_dir: str = "images", **kw):
+        super().__init__(data_dir, mode=mode, img_dir=img_dir, **kw)

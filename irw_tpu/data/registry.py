@@ -15,7 +15,12 @@ from irw_tpu.data.datasets_image import (
     StanfordDog12Dataset,
     TexturedDataset,
 )
-from irw_tpu.data.datasets_multilabel import COCOHashing, MIRFlickrHashing, VOC2012Hashing
+from irw_tpu.data.datasets_multilabel import (
+    COCOHashing,
+    MIRFlickrHashing,
+    NUSWIDEHashing,
+    VOC2012Hashing,
+)
 from irw_tpu.data.landmarks import RevisitedDataset, SfM120kDataset
 from irw_tpu.data.synthetic import (
     SyntheticDataset,
@@ -39,6 +44,7 @@ DATASET_REGISTRY = {
     "VOC2012Hashing": VOC2012Hashing,
     "MIRFlickrHashing": MIRFlickrHashing,
     "COCOHashing": COCOHashing,
+    "NUSWIDEHashing": NUSWIDEHashing,
     "CifarDataset": CifarDataset,
     "Cifar100RetrievalDataset": Cifar100RetrievalDataset,
     "Cifar10Retrieval": Cifar10Retrieval,
@@ -55,6 +61,7 @@ QUERY_GALLERY_DATASETS = {
     "VOC2012Hashing",
     "MIRFlickrHashing",
     "COCOHashing",
+    "NUSWIDEHashing",
     "ImageNet100Hashing",
     "Cifar10Retrieval",
     "RevisitedDataset",

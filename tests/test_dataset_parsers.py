@@ -147,3 +147,36 @@ def test_image_folder_dataset(tmp_path):
     # registry + getter path
     from irw_tpu.data import DATASET_REGISTRY
     assert "ImageFolderDataset" in DATASET_REGISTRY
+
+
+def test_nuswide_dsch_manifest(tmp_path):
+    """NUS-WIDE in the DSCH layout (_data.py:44-61): single-file manifests
+    train/query/dbase.txt of ``<file> <l0> ... <l20>``, images under
+    ``images/``; 21 classes; gallery mode resolves the ``dbase`` stem."""
+    root = str(tmp_path)
+    lab_a = "1 " + "0 " * 19 + "1"
+    lab_b = "0 1 " + "0 " * 18 + "1"
+    with open(os.path.join(root, "train.txt"), "w") as f:
+        f.write(f"im1.jpg {lab_a}\nim2.jpg {lab_b}\n")
+    with open(os.path.join(root, "query.txt"), "w") as f:
+        f.write(f"im1.jpg {lab_a}\n")
+    with open(os.path.join(root, "dbase.txt"), "w") as f:
+        f.write(f"im1.jpg {lab_a}\nim2.jpg {lab_b}\n")
+    for rel in ("im1.jpg", "im2.jpg"):
+        _touch_image(os.path.join(root, "images", rel))
+
+    from irw_tpu.data.datasets_multilabel import NUSWIDEHashing
+
+    train = NUSWIDEHashing(root, mode="train")
+    query = NUSWIDEHashing(root, mode="query")
+    gallery = NUSWIDEHashing(root, mode="gallery")
+    assert NUSWIDEHashing.num_classes == 21
+    assert train.labels.shape == (2, 21)
+    assert len(query) == 1 and len(gallery) == 2
+    np.testing.assert_array_equal(train.labels[0, [0, 20]], [1, 1])
+    assert train[0]["image"].size == (8, 8)
+
+    from irw_tpu.data.registry import DATASET_REGISTRY, QUERY_GALLERY_DATASETS
+
+    assert "NUSWIDEHashing" in DATASET_REGISTRY
+    assert "NUSWIDEHashing" in QUERY_GALLERY_DATASETS
