@@ -128,7 +128,8 @@ def train_dsch(
         # dispatch (same fix as engine/train.py)
         inflight: deque = deque()
         for batch in loader:
-            hyper = _build_hyper(optimizer_entries, epoch, global_step, 0, None)
+            hyper = _build_hyper(optimizer_entries, epoch, global_step, 0, None,
+                                  ortho_scale=exp.get("ortho_scale"))
             global_step += 1
             state, metrics = step_fn(state, batch, hyper)
             inflight.append(metrics)
@@ -138,7 +139,9 @@ def train_dsch(
         while inflight:
             fetched = jax.device_get(inflight.popleft())
             meters.update({k: float(v) for k, v in fetched.items()})
-        logger.log(epoch, meters.avg, prefix="train/")
+        train_metrics = dict(meters.avg)
+        train_metrics["model_alpha"] = dsch_alpha(epoch, alpha_gamma, alpha_power)
+        logger.log(epoch, train_metrics, prefix="train/")
         LOGGER.info(
             f"[dsch] epoch {epoch}/{max_iter} α={dsch_alpha(epoch, alpha_gamma, alpha_power):.3f} "
             f"loss={meters.avg.get('total_loss', float('nan')):.4f} "

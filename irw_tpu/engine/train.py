@@ -73,7 +73,8 @@ def _apply_loss_epoch_updates(losses, state):
     return state.replace(loss_states=new_states)
 
 
-def _build_hyper(optimizer_entries, epoch, step, warm_up, warm_up_key):
+def _build_hyper(optimizer_entries, epoch, step, warm_up, warm_up_key,
+                 ortho_scale=None):
     lrs, active = {}, {}
     for entry in optimizer_entries:
         lrs[entry.name] = {
@@ -83,7 +84,12 @@ def _build_hyper(optimizer_entries, epoch, step, warm_up, warm_up_key):
         active[entry.name] = jnp.asarray(
             (not in_warmup) or (warm_up_key is not None and entry.name == warm_up_key)
         )
-    return {"lrs": lrs, "active": active}
+    hyper = {"lrs": lrs, "active": active}
+    if ortho_scale is not None:
+        # runtime λ for the fusion ortho penalty (experience.ortho_scale):
+        # an array input, so λ sweeps share one compiled step
+        hyper["ortho_scale"] = jnp.float32(ortho_scale)
+    return hyper
 
 
 def train(
@@ -149,6 +155,7 @@ def train(
     # the fusion head) — params, Adam moments and the matching activations
     # get sharded, the rest replicated
     mesh = None
+    pp_apply = None
     if exp.get("use_mesh", True) and jax.device_count() > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -163,6 +170,40 @@ def train(
         n_dev = jax.device_count()
         mp = int(exp.get("model_parallel", 1) or 1)
         bp = int(exp.get("band_parallel", 1) or 1)
+        pp = int(exp.get("pipeline_parallel", 1) or 1)
+        if pp > 1:
+            # GPipe pipeline stage axis (parallel/pp.py) — exclusive of
+            # band/tensor parallelism (single-ViT models are pp's use case;
+            # multi-branch models scale by band/tp first)
+            if mp > 1 or bp > 1:
+                LOGGER.warning(
+                    "pipeline_parallel is exclusive of band/model parallelism"
+                    " — ignoring band_parallel/model_parallel")
+                mp = bp = 1
+            if n_dev % pp:
+                LOGGER.warning(
+                    f"pipeline_parallel={pp} does not divide {n_dev} devices"
+                    " — falling back to data parallelism")
+                pp = 1
+        if pp > 1:
+            from irw_tpu.parallel import pp_apply_fn
+            from irw_tpu.parallel.mesh import make_mesh_2d
+
+            pp_mesh = make_mesh_2d(model_parallel=pp,
+                                   axis_names=("data", "stage"))
+            try:
+                pp_apply = pp_apply_fn(
+                    model, mesh=pp_mesh,
+                    n_microbatches=int(exp.get("pp_microbatches", 4) or 4),
+                    data_axis="data" if pp_mesh.shape["data"] > 1 else None,
+                )
+                mesh = pp_mesh
+                LOGGER.info(
+                    f"training over {n_dev} devices: "
+                    f"data={pp_mesh.shape['data']} × stage={pp} (pipeline)")
+            except NotImplementedError as exc:
+                LOGGER.warning(f"pipeline parallelism disabled: {exc}")
+                pp = 1
         if (mp > 1 or bp > 1) and n_dev % (mp * bp):
             LOGGER.warning(
                 f"band_parallel×model_parallel={bp}×{mp} does not divide "
@@ -221,6 +262,7 @@ def train(
             xbm_active=xbm_active,
             adaptive_weights=adaptive,
             adaptive_head_key=exp.get("adaptive_head_key", "HashHead"),
+            apply_fn=pp_apply,
         )
         return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -308,7 +350,9 @@ def train(
             data_time += time.time() - t_mark
             if instrumentor is not None:
                 instrumentor.snapshot_batch(batch)
-            hyper = _build_hyper(optimizer_entries, epoch, global_step, warm_up, warm_up_key)
+            hyper = _build_hyper(optimizer_entries, epoch, global_step,
+                                 warm_up, warm_up_key,
+                                 ortho_scale=exp.get("ortho_scale"))
             global_step += 1
             if mesh is not None:
                 from irw_tpu.parallel import shard_train_batch

@@ -83,6 +83,7 @@ def build_train_step(
     xbm_active: bool = False,
     adaptive_weights: bool = False,
     adaptive_head_key: str = "HashHead",
+    apply_fn: Callable | None = None,
 ):
     """Returns ``step(state, batch, hyper) -> (state, metrics)`` ready for
     jit/pjit.  ``batch``: image (B,H,W,3)/(B,S,h,w,3) float or uint8,
@@ -104,7 +105,7 @@ def build_train_step(
         kwargs = {"train": True}
         if takes_alpha:
             kwargs["alpha"] = alpha
-        out, new_vars = model.apply(
+        out, new_vars = (apply_fn or model.apply)(
             variables,
             images,
             rngs={"dropout": r1, "band_drop": r2},
@@ -194,7 +195,8 @@ def build_train_step(
     use_xbm = xbm is not None and xbm_active  # static: engine rebuilds the
     # step once when the memory activates (activate_after)
 
-    def compute_losses(output, aux, labels, xbm_state, loss_params, loss_states):
+    def compute_losses(output, aux, labels, xbm_state, loss_params, loss_states,
+                       ortho_scale=None):
         is_branches = isinstance(output, (list, tuple))
         emb = None if is_branches else output
 
@@ -279,6 +281,12 @@ def build_train_step(
                 vec_terms.append(xbm.weight * mem_value)
 
         ortho = aux.get("ortho_loss", jnp.float32(0.0))
+        if ortho_scale is not None:
+            # runtime λ (experience.ortho_scale, fed through ``hyper`` as an
+            # array): multiplies the fusion head's ortho penalty WITHOUT
+            # baking the value into the compiled program — λ sweeps then
+            # share one XLA compilation instead of paying ~30 min per value
+            ortho = ortho * ortho_scale
         total = total + ortho
         parts["ortho_loss"] = ortho
         vec = jnp.stack(vec_terms + [ortho])
@@ -309,7 +317,8 @@ def build_train_step(
                     state.xbm, jax.lax.stop_gradient(emb_for_mem), labels, indices
                 )
             total, (parts, new_loss_states, vec) = compute_losses(
-                output, aux, labels, xbm_state, loss_params, state.loss_states
+                output, aux, labels, xbm_state, loss_params, state.loss_states,
+                ortho_scale=hyper.get("ortho_scale"),
             )
             return total, (parts, new_loss_states, new_bs, xbm_state, emb_for_mem, vec)
 

@@ -23,7 +23,7 @@ from irw_tpu.parallel.mesh import (
     shard_train_batch,
 )
 from irw_tpu.parallel.fsdp import bytes_per_device, fsdp_leaf_spec, fsdp_shardings
-from irw_tpu.parallel.pp import gpipe, pp_vit_forward, split_stages
+from irw_tpu.parallel.pp import gpipe, pp_apply_fn, pp_vit_forward, split_stages
 from irw_tpu.parallel.tp import (
     tp_leaf_spec,
     tp_shardings,
@@ -46,6 +46,7 @@ __all__ = [
     "mesh_shardings",
     "validate_band_divisibility",
     "gpipe",
+    "pp_apply_fn",
     "pp_vit_forward",
     "split_stages",
     "fsdp_leaf_spec",

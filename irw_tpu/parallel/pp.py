@@ -30,13 +30,17 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def gpipe(stage_fn, stage_params, x_microbatches, *, mesh: Mesh,
-          axis_name: str = "stage"):
+          axis_name: str = "stage", data_axis: str | None = None):
     """Run ``stage_fn(local_params, x) -> y`` (same shape) as an S-stage
     pipeline over ``mesh``'s ``axis_name``.
 
     stage_params: pytree with leading axis S (stage i's slice lands on
     shard i); x_microbatches: (M, mb, ...) — outputs are (M, mb, ...),
     replicated across the axis.
+
+    ``data_axis`` composes dp×pp: the per-microbatch sample dim is sharded
+    over that mesh axis (each data shard runs its own pipeline over the
+    stage axis; no cross-data communication is introduced).
     """
     n_stages = mesh.shape[axis_name]
     n_micro = x_microbatches.shape[0]
@@ -69,18 +73,21 @@ def gpipe(stage_fn, stage_params, x_microbatches, *, mesh: Mesh,
 
         init = (jnp.zeros(sample_shape, x_mb.dtype),
                 jnp.zeros((n_micro, *sample_shape), x_mb.dtype))
-        # the loop writes stage-varying values into the carry: mark the
-        # initial zeros as varying over the stage axis (shard_map vma typing)
-        init = jax.lax.pcast(init, (axis_name,), to="varying")
+        # the loop writes stage-varying (and, under dp×pp, data-varying)
+        # values into the carry: mark the initial zeros accordingly
+        # (shard_map vma typing — the scan carry type must be stable)
+        varying = (axis_name,) + ((data_axis,) if data_axis else ())
+        init = jax.lax.pcast(init, varying, to="varying")
         (_, out_buf), _ = jax.lax.scan(tick, init, jnp.arange(n_ticks))
         # replicate the last stage's results to every shard
         out_buf = jnp.where(stage == n_stages - 1, out_buf, 0)
         return jax.lax.psum(out_buf, axis_name)
 
     stage_spec = jax.tree_util.tree_map(lambda _: P(axis_name), stage_params)
+    x_spec = P(None, data_axis) if data_axis else P()
     return jax.shard_map(
         pipelined, mesh=mesh,
-        in_specs=(stage_spec, P()), out_specs=P(),
+        in_specs=(stage_spec, x_spec), out_specs=x_spec,
     )(stage_params, x_microbatches)
 
 
@@ -98,13 +105,23 @@ def split_stages(block_params, n_stages: int):
 
 
 def pp_vit_forward(vit, variables, x, *, mesh: Mesh, n_microbatches: int,
-                   axis_name: str = "stage"):
-    """Eval-mode ViT forward with the block stack pipelined over ``mesh``.
+                   axis_name: str = "stage", train: bool = False,
+                   data_axis: str | None = None):
+    """ViT forward with the block stack pipelined over ``mesh``.
 
     Mirrors VisionTransformer.__call__ (models/vit.py) for the scanned,
     prompt-less, single-domain configuration; equality with the plain
     forward is asserted by tests/test_sharding.py.  Returns cls embeddings.
+
+    ``train=True`` is supported for dropout-free ViTs (the DINOv2 configs —
+    dropout 0.0): block compute is then train/eval-identical, and the
+    backward pass pipelines through the same schedule because
+    ``ppermute``'s transpose is the reverse permutation (gradients verified
+    against the non-pp step in tests/test_sharding.py).
     """
+    if train and vit.dropout:
+        raise NotImplementedError(
+            "pp train forward requires dropout=0 (deterministic blocks)")
     from irw_tpu.models.vit import Block, DomainLayerNorm, PatchEmbed
 
     assert vit.scan_blocks, "pipeline parallelism needs the scanned layout"
@@ -136,10 +153,60 @@ def pp_vit_forward(vit, variables, x, *, mesh: Mesh, n_microbatches: int,
         return toks
 
     mb = tokens.reshape(n_microbatches, b // n_microbatches, *tokens.shape[1:])
-    tokens = gpipe(stage_fn, stage_params, mb, mesh=mesh,
-                   axis_name=axis_name).reshape(tokens.shape)
+    tokens = gpipe(stage_fn, stage_params, mb, mesh=mesh, axis_name=axis_name,
+                   data_axis=data_axis).reshape(tokens.shape)
 
     # ---- head — vit.py:333-336
     tokens = DomainLayerNorm(vit.num_domains, dtype=vit.dtype).apply(
         {"params": params["norm"]}, tokens, None)
     return tokens[:, 0]
+
+
+def pp_apply_fn(model, *, mesh: Mesh, n_microbatches: int,
+                axis_name: str = "stage", data_axis: str | None = None):
+    """``model.apply``-compatible pipelined apply for single-ViT hashing
+    models (DINOHashBaseline — the pp use case: one backbone that outgrows
+    a chip; the 4-branch flagship scales by band parallelism first, see
+    module docstring).
+
+    The returned callable matches the contract the engine's train step
+    expects from ``model.apply`` (train_step.py ``forward``): it takes the
+    full ``variables`` tree, returns ``((output, aux), mutated_vars)`` and
+    honors ``mutable=["batch_stats"]`` for the hash head's BatchNorm.
+    Plugged in via ``build_train_step(..., apply_fn=...)`` so losses,
+    optimizers and XBM are untouched.
+    """
+    from irw_tpu.models.baselines import DINOHashBaseline
+    from irw_tpu.models.layers import HashHead, binarize
+    from irw_tpu.models.vit import make_vit
+
+    if not isinstance(model, DINOHashBaseline):
+        raise NotImplementedError(
+            "pipeline parallelism is integrated for single-ViT hashing "
+            f"models (DINOHashBaseline); got {type(model).__name__}. "
+            "Multi-branch models: use band/tensor parallelism "
+            "(experience.band_parallel / model_parallel).")
+    vit = make_vit(model.backbone, **(model.vit_kwargs or {}))
+    head = HashHead(model.nbits, use_bn=True)
+
+    def apply(variables, images, *, rngs=None, mutable=(), train=True,
+              **kwargs):
+        params = variables["params"]
+        cls = pp_vit_forward(
+            vit, {"params": params["VisionTransformer_0"]}, images,
+            mesh=mesh, n_microbatches=n_microbatches, axis_name=axis_name,
+            data_axis=data_axis, train=train and not model.frozen_backbone)
+        if model.frozen_backbone:
+            cls = jax.lax.stop_gradient(cls)
+        head_vars = {"params": params["HashHead_0"]}
+        bs = variables.get("batch_stats") or {}
+        if bs:
+            head_vars["batch_stats"] = bs["HashHead_0"]
+        logits, new_vars = head.apply(head_vars, cls, train=train,
+                                      mutable=["batch_stats"])
+        out = (binarize(logits, train), {"ortho_loss": jnp.float32(0.0)})
+        new_bs = ({"HashHead_0": new_vars["batch_stats"]}
+                  if "batch_stats" in new_vars else {})
+        return out, {"batch_stats": new_bs}
+
+    return apply

@@ -712,3 +712,57 @@ def test_async_checkpoint_crash_window(tmp_path):
     assert meta["epoch"] in (1, 2)
     leaves = jax.tree_util.tree_leaves(restored["params"])
     assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_runtime_ortho_scale_scales_penalty():
+    """experience.ortho_scale feeds λ through ``hyper`` as an array so λ
+    sweeps share one compiled step: parts['ortho_loss'] must scale exactly
+    and the scaled term must enter total_loss (train_step.py ortho block)."""
+    import optax
+
+    from irw_tpu.engine.optimizers import build_optimizers
+    from irw_tpu.engine.train import _build_hyper
+    from irw_tpu.engine.train_step import build_train_step
+    from irw_tpu.getter import init_train_state
+    from irw_tpu.losses import build_losses
+    from irw_tpu.models import get_model
+
+    rng = np.random.RandomState(0)
+    model = get_model(
+        "multidino_attention_hashing_ortho", backbone="vit_tiny", nbits=8,
+        fusion_config={"type": "cross_attention_advanced", "output_dim": 32,
+                       "num_queries": 2, "num_heads": 2,
+                       "ortho_weight": 1.0})
+    losses = build_losses([{"name": "HashLoss", "weight": 1.0,
+                            "kwargs": {"num_classes": 4,
+                                       "embedding_size": 8}}])
+    batch = {
+        "image": rng.randint(0, 255, (8, 4, 16, 16, 3), dtype=np.uint8),
+        "label": rng.randint(0, 4, 8),
+        "index": np.arange(8),
+    }
+    bands = jnp.asarray(batch["image"], jnp.float32) / 255.0
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, bands, train=True)
+    entries = build_optimizers(
+        [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}],
+        variables["params"])
+    state = init_train_state(model, losses, entries, optax.adamw(1e-3),
+                             batch, seed=0)
+    step = jax.jit(build_train_step(model, losses, entries,
+                                    optax.adamw(1e-3)))
+
+    out = {}
+    for scale in (0.0, 1.0, 10.0):
+        hyper = _build_hyper(entries, 1, 0, 0, None, ortho_scale=scale)
+        _, metrics = step(state, batch, hyper)
+        out[scale] = {k: float(v) for k, v in jax.device_get(metrics).items()}
+
+    assert out[0.0]["ortho_loss"] == 0.0
+    assert out[1.0]["ortho_loss"] > 0.0
+    np.testing.assert_allclose(out[10.0]["ortho_loss"],
+                               10.0 * out[1.0]["ortho_loss"], rtol=1e-5)
+    np.testing.assert_allclose(
+        out[10.0]["total_loss"] - out[0.0]["total_loss"],
+        out[10.0]["ortho_loss"], rtol=1e-4, atol=1e-6)
