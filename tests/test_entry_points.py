@@ -316,3 +316,66 @@ def test_aggregate_results_tensorboard_fallback(tmp_path):
     assert abs(scalars["test_map_level0"] - 0.55) < 1e-6  # last value wins
     runs = collect_runs(str(tmp_path), "tbstudy")
     assert len(runs) == 1 and "test_map_level0" in runs[0][1]
+
+
+def test_dsch_end_to_end(tmp_path):
+    """Drive the DSCH protocol through run.run (run.py dsch_train branch →
+    engine/dsch.py train_dsch; reference: main/engine/DSCH/train.py:27):
+    α continuation steps per epoch, early stopping fires with patience 1,
+    and checkpoints are written.  lr=0 keeps eval scores constant so the
+    early stop is deterministic (epoch 2 = first non-improving eval)."""
+    log_dir = tmp_path
+    config = compose(
+        CONFIG_DIR,
+        "default",
+        [
+            "dataset=synthetic_hashing",
+            "loss=dsch",
+            "transform=cifar_resize",
+            "experience.dsch_train=true",
+            "experience.max_iter=5",
+            "experience.train_eval_freq=1",
+            "experience.step_per_epoch=2",
+            "experience.eval_bs=64",
+            "experience.num_workers=0",
+            "experience.maybe_resume=false",
+            "experience.experiment_name=dsch_e2e",
+            f"experience.log_dir={log_dir}",
+            "+experience.use_mesh=false",
+            "+experience.dsch.patience=1",
+            "+experience.dsch.alpha_gamma=1.0",
+            "+experience.dsch.topk=64",
+            "dataset.kwargs.num_samples=96",
+            "dataset.kwargs.image_size=32",
+            "dataset.sampler.kwargs.batch_size=16",
+        ],
+    )
+    # tiny α-taking hashing model + frozen learning (deterministic early stop)
+    config["model"] = {"name": "resnet_hashing_alpha",
+                       "kwargs": {"depth": 18, "nbits": 16}}
+    # plain-image trunk (the DSCH nets take (B,H,W,3), reference
+    # resnet_ce.py) at the dataset's native 32px — no 224 upresize
+    config["transform"] = {
+        "train": {"Resize": {"size": [32, 32]}, "ToTensor": {}},
+        "test": {"Resize": {"size": [32, 32]}, "ToTensor": {}},
+    }
+    config["loss"][0]["kwargs"]["n_bits"] = 16
+    config["optimizer"][0]["kwargs"]["lr"] = 0.0
+    config["optimizer"][0]["scheduler_on_epoch"] = None
+
+    import run as run_module
+
+    metrics = run_module.run(config)
+    run_dir = os.path.join(str(log_dir), "dsch_e2e")
+
+    assert "test" in metrics and "map_level0" in metrics["test"]
+    assert os.path.exists(os.path.join(run_dir, "weights", "rolling"))
+
+    rows = [json.loads(line)
+            for line in open(os.path.join(run_dir, "metrics.jsonl"))]
+    alphas = {r["step"]: r["train/model_alpha"]
+              for r in rows if "train/model_alpha" in r}
+    # α continuation increased per epoch: (1 + γ·e)^0.5, γ=1
+    assert alphas[2] > alphas[1] > 1.0
+    # early stop with patience 1 under lr=0: epochs {1, 2} only, not max_iter
+    assert set(alphas) == {1, 2}
