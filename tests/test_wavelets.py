@@ -387,3 +387,49 @@ def test_dwt_transform_pipeline_uses_symmetric_default(rng):
     # pywt symmetric sizes: floor((16+4-1)/2) = 9 per side for db2 (L=4)
     assert out_sym.shape == (2, 4, 9, 9, 3)
     assert out_per.shape == (2, 4, 8, 8, 3)
+
+
+def test_pywt_golden_parity():
+    """Golden parity vs actual pywt outputs (wavedec2 / swt2, haar, all
+    boundary modes).  The golden file is generated OFFLINE by
+    tools/gen_pywt_golden.py (pywt cannot be installed in this image) and
+    committed; until then this skips with the recipe."""
+    import os
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden",
+                               "pywt_golden.npz")
+    if not os.path.exists(golden_path):
+        pytest.skip("tests/golden/pywt_golden.npz absent — generate offline "
+                    "with `python tools/gen_pywt_golden.py` (needs pywt)")
+    import numpy as np
+
+    from irw_tpu.ops.wavelets import swt2, wavedec2
+
+    g = np.load(golden_path)
+    shapes = sorted({int(k.split("_")[1]) for k in g.files
+                     if k.startswith("input")})
+    modes = sorted({k.split("_")[2] for k in g.files
+                    if k.startswith("wavedec2")})
+    assert shapes and modes
+    for si in shapes:
+        x = g[f"input_{si}"]
+        for mode in modes:
+            coeffs = wavedec2(x, "haar", level=2, mode=mode)
+            np.testing.assert_allclose(
+                np.asarray(coeffs[0]), g[f"wavedec2_{si}_{mode}_ll"],
+                rtol=1e-5, atol=1e-6,
+                err_msg=f"wavedec2 LL shape{si} mode={mode}")
+            for lvl, details in enumerate(coeffs[1:]):
+                for name, band in zip(("lh", "hl", "hh"), details):
+                    np.testing.assert_allclose(
+                        np.asarray(band),
+                        g[f"wavedec2_{si}_{mode}_l{lvl}_{name}"],
+                        rtol=1e-5, atol=1e-6,
+                        err_msg=f"wavedec2 {name} shape{si} mode={mode} l{lvl}")
+        if f"swt2_{si}_ca" in g:
+            (ca, (lh, hl, hh)), = swt2(x, "haar", level=1)
+            for name, band in (("ca", ca), ("lh", lh), ("hl", hl), ("hh", hh)):
+                np.testing.assert_allclose(
+                    np.asarray(band), g[f"swt2_{si}_{name}"],
+                    rtol=1e-5, atol=1e-6,
+                    err_msg=f"swt2 {name} shape{si}")
