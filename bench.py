@@ -256,12 +256,28 @@ def _run_with_retries() -> int:
     env = dict(os.environ, **{_INNER_ENV: "1"})
     last_tail = ""
     attempts = len(_RETRY_DELAYS) + 1
+    # a wedged axon tunnel HANGS rather than failing fast (observed round 4):
+    # bound each attempt so the retry loop actually gets to retry
+    attempt_timeout = int(os.environ.get("IRW_BENCH_ATTEMPT_TIMEOUT", "2700"))
     for attempt in range(attempts):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True,
-            timeout=None,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=attempt_timeout,
+            )
+        except subprocess.TimeoutExpired as exc:
+            last_tail = (f"attempt timed out after {attempt_timeout}s "
+                         f"(wedged TPU tunnel?): "
+                         + ((exc.stderr or b"").decode("utf-8", "replace")
+                            if isinstance(exc.stderr, bytes)
+                            else (exc.stderr or ""))[-1200:])
+            if attempt < attempts - 1:
+                delay = _RETRY_DELAYS[attempt]
+                print(f"bench attempt {attempt + 1}/{attempts} timed out; "
+                      f"retrying in {delay}s", file=sys.stderr)
+                time.sleep(delay)
+            continue
         if proc.returncode == 0 and proc.stdout.strip():
             sys.stdout.write(proc.stdout)
             sys.stderr.write(proc.stderr[-2000:])
