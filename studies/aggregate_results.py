@@ -108,13 +108,19 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--log-dir", default="experiments")
     parser.add_argument("--study", required=True)
-    parser.add_argument("--metric", default="test/map_level0")
+    parser.add_argument("--metric", default="test/map_level0",
+                        help="comma-separated metric keys; the first is the "
+                             "one printed/CSV'd, all appear in --markdown")
     parser.add_argument("--csv", default=None)
+    parser.add_argument("--markdown", default=None,
+                        help="write a committable mean±std markdown table "
+                             "(one column per metric, one row per swept group)")
     args = parser.parse_args()
 
+    metrics = [m.strip() for m in args.metric.split(",") if m.strip()]
     runs = collect_runs(args.log_dir, args.study)
     print(f"{len(runs)} runs found")
-    summary = aggregate(runs, args.metric)
+    summary = aggregate(runs, metrics[0])
     rows = []
     for name, (mean, std, n) in sorted(summary.items()):
         print(f"  {name}: {mean:.4f} ± {std:.4f} (n={n})")
@@ -126,6 +132,32 @@ def main():
             writer = csv.DictWriter(f, fieldnames=["group", "mean", "std", "n"])
             writer.writeheader()
             writer.writerows(rows)
+    if args.markdown:
+        per_metric = {m: aggregate(runs, m) for m in metrics}
+        groups = sorted({g for s in per_metric.values() for g in s})
+        lines = [
+            f"# {args.study} — aggregate (mean ± std over seeds)",
+            "",
+            f"{len(runs)} runs under `{args.log_dir}`; generated by "
+            "`studies/aggregate_results.py --markdown` (reference analog: "
+            "studies/aggregate_results.py printed means only).",
+            "",
+            "| group | " + " | ".join(metrics) + " | n |",
+            "|---|" + "---|" * (len(metrics) + 1),
+        ]
+        for g in groups:
+            cells, n_runs = [], 0
+            for m in metrics:
+                got = per_metric[m].get(g)
+                if got is None:
+                    cells.append("—")
+                else:
+                    mean, std, n_runs = got
+                    cells.append(f"{mean:.4f} ± {std:.4f}")
+            lines.append(f"| {g} | " + " | ".join(cells) + f" | {n_runs} |")
+        with open(args.markdown, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"markdown table -> {args.markdown}")
 
 
 if __name__ == "__main__":
