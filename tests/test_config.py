@@ -135,3 +135,27 @@ def test_all_subbands_transform_seven_bands():
     img = host(SyntheticDataset(num_samples=1, image_size=32)[0]["image"], rng, False)
     out = np.asarray(device(img[None]))
     assert out.shape == (1, 7, 16, 16, 3)  # LL2 + 3 details L2 + 3 details L1
+
+
+def test_all_committed_study_plans_compose():
+    """Every studies/*.yaml plan must compose against the config tree.
+
+    Regression: voc_lambda_hard_cpu shipped with override keys that did not
+    exist in the composed config (model.kwargs.backbone on the protocol
+    preset; experience.ortho_scale before it was declared in
+    configs/experience/default.yaml), so all its jobs died at compose time
+    on first launch. Composes the first sweep point of each plan exactly
+    like studies/run_plan.py builds job command lines.
+    """
+    import glob
+
+    import yaml
+
+    plans = sorted(glob.glob(os.path.join(CONFIG_DIR, "..", "studies", "*.yaml")))
+    assert plans, "no study plans found"
+    for plan_path in plans:
+        with open(plan_path) as f:
+            plan = yaml.safe_load(f)
+        base = list(plan.get("base_overrides") or [])
+        first = [f"{k}={v[0]}" for k, v in (plan.get("sweep") or {}).items()]
+        compose(CONFIG_DIR, "default", base + first)

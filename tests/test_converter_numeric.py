@@ -22,6 +22,9 @@ from tools.convert_torch_weights import (  # noqa: E402
     stack_scanned_blocks,
 )
 
+# builds torch reference models in-process — slow tier
+pytestmark = pytest.mark.slow
+
 
 # --------------------------------------------------------------------------
 # torch reference: torchvision-style ResNet-50

@@ -156,6 +156,7 @@ def _make_batch(dataset, host_t, indices, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_learns(tiny_setup):
     dataset, host_t, device_t, model, losses = tiny_setup
     cfg = [{"name": "AdamW", "params": None, "kwargs": {"lr": 3e-3, "weight_decay": 0.0}}]
@@ -195,6 +196,7 @@ def test_train_step_runs_and_learns(tiny_setup):
     assert float(metrics["grad_norm"]) > 0
 
 
+@pytest.mark.slow
 def test_train_step_warmup_gating(tiny_setup):
     dataset, host_t, device_t, model, losses = tiny_setup
     cfg = [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-2}}]
@@ -218,6 +220,7 @@ def test_train_step_warmup_gating(tiny_setup):
     np.testing.assert_allclose(np.asarray(before), np.asarray(after))
 
 
+@pytest.mark.slow
 def test_xbm_in_step(tiny_setup):
     """XBM-active step computes BOTH the batch-vs-batch and batch-vs-memory
     loss terms, the memory one scaled by memory.weight
@@ -295,6 +298,7 @@ def test_xbm_invalid_slots_inert_in_scores():
     assert abs(full - only_valid) < 1e-5
 
 
+@pytest.mark.slow
 def test_full_train_loop_and_eval(tiny_setup, tmp_path):
     dataset, host_t, device_t, model, losses = tiny_setup
     from irw_tpu.engine.train import train
@@ -335,6 +339,7 @@ def test_full_train_loop_and_eval(tiny_setup, tmp_path):
     assert os.path.isdir(os.path.join(str(tmp_path), "profile"))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     dataset, host_t, device_t, model, losses = tiny_setup
     from irw_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
@@ -396,6 +401,7 @@ def test_landmark_eval_protocol():
     assert 0.0 <= out["map_medium"] <= 1.0
 
 
+@pytest.mark.slow
 def test_evaluate_query_gallery_dict(tiny_setup):
     """InShop/hashing-style eval: separate query and gallery datasets
     (getter.py:169-233 / evaluate.py:101-135)."""
@@ -424,6 +430,7 @@ def test_evaluate_query_gallery_dict(tiny_setup):
     assert 0.0 <= out["map_level0"] <= 1.0
 
 
+@pytest.mark.slow
 def test_landmark_dataset_routing(tmp_path, rng):
     """Datasets carrying gnd route to the revisited protocol."""
     from irw_tpu.engine.evaluate import evaluate
@@ -454,6 +461,7 @@ def test_landmark_dataset_routing(tmp_path, rng):
     assert set(out) == {"map_medium", "map_hard"}
 
 
+@pytest.mark.slow
 def test_training_improves_retrieval(tiny_setup, tmp_path):
     """Learning guard: a few epochs on separable synthetic classes must lift
     Hamming mAP clearly above the untrained model's."""
@@ -508,6 +516,7 @@ def test_landmark_ap_hand_computed():
     assert compute_ap(np.array([0, 1, 2]), 3) == pytest.approx(1.0)
 
 
+@pytest.mark.slow
 def test_xbm_with_score_loss(tiny_setup):
     """SCORES losses against the (B, M) memory matrix — the path that was
     broken before the rank-AP general path existed."""
@@ -538,6 +547,7 @@ def test_xbm_with_score_loss(tiny_setup):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+@pytest.mark.slow
 def test_evaluate_with_distractors(tiny_setup):
     """Distractor gallery augmentation: extra never-relevant items can only
     lower the metrics (evaluate.py:101-135)."""
@@ -661,6 +671,7 @@ def test_landmark_vectorized_matches_scalar_oracle():
         assert abs(out[f"map_{protocol}"] - expected) < 1e-5, protocol
 
 
+@pytest.mark.slow
 def test_async_checkpoint_crash_window(tmp_path):
     """Kill the process while an async rolling save is in flight: the
     on-disk checkpoint must be either the previous complete save or the
@@ -714,6 +725,7 @@ def test_async_checkpoint_crash_window(tmp_path):
     assert leaves and all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+@pytest.mark.slow
 def test_runtime_ortho_scale_scales_penalty():
     """experience.ortho_scale feeds λ through ``hyper`` as an array so λ
     sweeps share one compiled step: parts['ortho_loss'] must scale exactly

@@ -12,6 +12,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from irw_tpu.config import compose  # noqa: E402
 
+# full train+eval cycles through the real entry points — the slow tier
+pytestmark = pytest.mark.slow
+
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 

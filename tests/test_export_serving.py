@@ -11,6 +11,9 @@ import pytest
 
 from tools.export_serving import export_model, _from_run
 
+# jax.export roundtrips + a full run checkpoint — slow tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def flagship():

@@ -205,6 +205,7 @@ def test_retrieval_net_wrapper(rng):
     np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_grad_flows_through_flagship(rng):
     m = get_model(
         "multidino_attention_hashing_ortho",
@@ -254,6 +255,7 @@ def test_dtype_string_parsing(rng):
     assert m.dtype == jnp.bfloat16
 
 
+@pytest.mark.slow
 def test_vit_remat_blocks_same_forward_and_grads():
     """remat_blocks changes memory scheduling only: identical forward
     outputs and gradients vs the plain scanned ViT."""
@@ -285,6 +287,7 @@ def test_vit_remat_blocks_same_forward_and_grads():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vit_fused_qkv_same_params_and_forward():
     """The opt-in fused-QKV attention keeps the flax MHA param tree
     (query/key/value/out) and produces identical forward outputs."""
@@ -325,6 +328,7 @@ def test_split_cls_attention_matches_default(rng):
                                np.asarray(split.apply(v2, x2)), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_split_cls_full_vit_matches_default(rng):
     """End-to-end ViT forward with split_cls == default (shared params),
     including under scan_blocks."""
@@ -342,6 +346,7 @@ def test_split_cls_full_vit_matches_default(rng):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_vit_attn_probs_remat_policy_same_forward_and_grads():
     """The ``dots_no_batch_attn`` policy (pin tagged softmax probs) is a
     memory-scheduling change only: outputs and gradients match the

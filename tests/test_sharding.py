@@ -4,11 +4,15 @@ reference had no distributed testing at all (SURVEY §4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from irw_tpu.ops.metrics import compute_retrieval_metrics
 from irw_tpu.parallel import make_mesh, shard_batch
 from irw_tpu.parallel.eval_sharding import sharded_retrieval_metrics
+
+# jit compilations over the 8-device mesh dominate suite time — slow tier
+pytestmark = pytest.mark.slow
 
 
 def test_mesh_has_8_devices(devices):
@@ -69,9 +73,6 @@ def test_data_parallel_forward_matches_replicated(devices, rng):
         jax.device_put(variables, repl), jax.device_put(x, data)
     )
     np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded), atol=1e-5)
-
-
-import pytest
 
 
 @pytest.mark.parametrize("model_parallel", [1, 2])

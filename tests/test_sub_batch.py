@@ -29,6 +29,9 @@ from irw_tpu.getter import init_train_state
 from irw_tpu.losses import build_losses
 from irw_tpu.models import get_model
 
+# grad-equality over remat+scan micro-batching — slow tier
+pytestmark = pytest.mark.slow
+
 
 def _deterministic_flagship():
     """Flagship-shaped model with every stochastic/batch-stat piece disabled
