@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from irw_tpu.data import SyntheticDataset
@@ -21,6 +22,7 @@ def test_uses_adaptive_detection():
     assert losses[0][1] == 1.0
 
 
+@pytest.mark.slow
 def test_adaptive_step_runs(rng):
     dataset = SyntheticDataset(num_samples=32, num_classes=4, image_size=32, seed=0)
     (host_t, device_t), _ = Getter().get_transform(

@@ -7,6 +7,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
@@ -53,6 +54,7 @@ def _flat_shapes(tree, prefix=""):
     return out
 
 
+@pytest.mark.slow
 def test_resnet18_conversion_structural(rng):
     from irw_tpu.models.resnet import resnet18
 
@@ -70,6 +72,7 @@ def test_resnet18_conversion_structural(rng):
     assert out.shape == (1, 512) and np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_scanned_block_stacking(rng):
     from irw_tpu.models.vit import VisionTransformer
 

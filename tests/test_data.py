@@ -219,6 +219,7 @@ REF_TRANSFORMS = "/root/reference/config/transform"
 
 @pytest.mark.skipif(not __import__("os").path.isdir(REF_TRANSFORMS),
                     reason="reference tree not mounted")
+@pytest.mark.slow
 @pytest.mark.parametrize("preset", ["voc_swt.yaml", "cub_dwt.yaml"])
 def test_reference_transform_yaml_runs_train_step(preset):
     """The VERBATIM reference transform presets (incl. ColorJitter) compose

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from irw_tpu.hooks import FixedBatchInstrumentor, capture_features, capture_gradients
 from irw_tpu.models import get_model
@@ -40,6 +41,7 @@ def test_capture_features(rng):
         assert "Block_" in name
 
 
+@pytest.mark.slow
 def test_capture_gradients(rng):
     model = _flagship()
     x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), dtype=jnp.float32)
@@ -66,6 +68,7 @@ def test_fixed_batch_instrumentor(rng, tmp_path):
     assert inst.maybe_dump(2, variables) is None
 
 
+@pytest.mark.slow
 def test_densenet_and_hybrid(rng):
     model = get_model("densenet121")
     x = jnp.asarray(rng.rand(1, 32, 32, 3), dtype=jnp.float32)

@@ -129,6 +129,7 @@ def test_prompted_shared_dino(rng):
     assert any("prompts" in n for n in names)
 
 
+@pytest.mark.slow
 def test_wcnn_train_eval_routing(rng):
     m = get_model("wcnn_ce", num_classes=7, backbone="resnet18")
     x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), dtype=jnp.float32)
@@ -140,6 +141,7 @@ def test_wcnn_train_eval_routing(rng):
     np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_wresnet_in_model_dwt(rng):
     m = get_model("wresnet", decom_level=1, wave="haar", attention="cbam")
     x = jnp.asarray(rng.rand(2, 32, 32, 3), dtype=jnp.float32)
@@ -148,6 +150,7 @@ def test_wresnet_in_model_dwt(rng):
     assert "gate" in aux
 
 
+@pytest.mark.slow
 def test_mtwavenet_stage_attention(rng):
     m = get_model("mtwavenet", num_classes=5)
     x = jnp.asarray(rng.rand(2, 4, 32, 32, 3), dtype=jnp.float32)
@@ -157,6 +160,7 @@ def test_mtwavenet_stage_attention(rng):
     assert emb.shape == (2, 4 * 512)
 
 
+@pytest.mark.slow
 def test_mtwavenet50_fusion_returns_five_heads(rng):
     m = get_model("mtwavenet50_fusion", num_classes=5)
     x = jnp.asarray(rng.rand(1, 4, 32, 32, 3), dtype=jnp.float32)
@@ -233,6 +237,7 @@ def test_grad_flows_through_flagship(rng):
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_convnext_backbone(rng):
     m = get_model("convnext_tiny")
     x = jnp.asarray(rng.rand(1, 64, 64, 3), dtype=jnp.float32)
@@ -241,6 +246,7 @@ def test_convnext_backbone(rng):
     assert out.shape == (1, 768)
 
 
+@pytest.mark.slow
 def test_hf_clip_tower(rng):
     m = get_model("clip_vit_b32")
     x = jnp.asarray(rng.rand(1, 224, 224, 3), dtype=jnp.float32)
@@ -308,6 +314,7 @@ def test_vit_fused_qkv_same_params_and_forward():
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_f), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_split_cls_attention_matches_default(rng):
     """SplitCLSMHA (lane-aligned 256+1 attention) shares flax MHA's param
     tree and reproduces its output — bit-exact at dropout 0."""
