@@ -281,6 +281,10 @@ def build_train_step(
                 vec_terms.append(xbm.weight * mem_value)
 
         ortho = aux.get("ortho_loss", jnp.float32(0.0))
+        # the UNscaled constraint violation: observable at λ=0 too, so λ
+        # ablations can read the dose-response in constraint space even when
+        # the task metric is insensitive (hard-CPU λ study, round 4)
+        parts["ortho_raw"] = ortho
         if ortho_scale is not None:
             # runtime λ (experience.ortho_scale, fed through ``hyper`` as an
             # array): multiplies the fusion head's ortho penalty WITHOUT
