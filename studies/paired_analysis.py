@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Paired-by-seed sweep analysis: Δ(metric) vs a baseline sweep value
+computed WITHIN each seed, so run-to-run seed variance cancels.
+
+Why this exists: the hard-VOC λ study's seed σ on final mAP is ~0.037 —
+far larger than realistic λ effects. But every sweep value shares the same
+seed set, and within a seed the training trajectories are nearly paired
+(same data order, same init), so Δ(λ, seed) = m(λ, seed) − m(λ₀, seed) has
+σ ≈ 0.001: a 30× sensitivity gain for free. The reference's
+aggregate_results.py (studies/aggregate_results.py:51-86) only reported
+unpaired group means and could not have resolved these effects.
+
+Usage::
+
+    python studies/paired_analysis.py --log-dir experiments/protocol_hard_cpu \
+        --study voc_lambda_hard_cpu --sweep-key ortho_scale --baseline 0 \
+        --metrics test/maphashing_level0,train/ortho_raw
+
+Prints a markdown table: per sweep value, mean ± std of each metric over
+seeds, plus the paired Δ of the FIRST metric vs the baseline sweep value.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+
+
+def read_last(run_dir: str) -> dict:
+    last: dict = {}
+    path = os.path.join(run_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return last
+    with open(path) as f:
+        for line in f:
+            try:
+                last.update(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+    return last
+
+
+def collect(log_dir: str, study: str, sweep_key: str):
+    """{(sweep_value, seed): last-metrics} from run-dir names of the
+    run_plan convention ``<study>_<key>=<value>_seed=<seed>`` (any order)."""
+    runs = {}
+    pat = re.compile(rf"{re.escape(sweep_key)}=([^_/]+)")
+    seed_pat = re.compile(r"seed=(\d+)")
+    for d in sorted(glob.glob(os.path.join(log_dir, f"{study}*"))):
+        name = os.path.basename(d)
+        m, s = pat.search(name), seed_pat.search(name)
+        if not (m and s):
+            continue
+        last = read_last(d)
+        if last:
+            runs[(float(m.group(1)), int(s.group(1)))] = last
+    return runs
+
+
+def mean_std(vals):
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return float("nan"), float("nan"), 0
+    mu = sum(vals) / len(vals)
+    sd = (sum((v - mu) ** 2 for v in vals) / len(vals)) ** 0.5
+    return mu, sd, len(vals)
+
+
+def render(runs, metrics, baseline: float, sweep_key: str) -> str:
+    values = sorted({v for v, _ in runs})
+    seeds = sorted({s for _, s in runs})
+    head = (f"| {sweep_key} | "
+            + " | ".join(m.split("/")[-1] for m in metrics)
+            + f" | paired Δ {metrics[0].split('/')[-1]} vs {baseline} |")
+    lines = [head, "|---|" + "---|" * (len(metrics) + 1)]
+    for v in values:
+        cells = []
+        for m in metrics:
+            mu, sd, _ = mean_std(
+                [runs[(v, s)].get(m) for s in seeds if (v, s) in runs])
+            cells.append(f"{mu:.4f} ± {sd:.4f}")
+        deltas = [
+            runs[(v, s)][metrics[0]] - runs[(baseline, s)][metrics[0]]
+            for s in seeds
+            if (v, s) in runs and (baseline, s) in runs
+            and metrics[0] in runs[(v, s)] and metrics[0] in runs[(baseline, s)]
+        ]
+        dmu, dsd, n = mean_std(deltas)
+        lines.append(f"| {v:g} | " + " | ".join(cells)
+                     + f" | {dmu:+.4f} ± {dsd:.4f} (n={n}) |")
+    return "\n".join(lines)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--log-dir", required=True)
+    p.add_argument("--study", required=True)
+    p.add_argument("--sweep-key", required=True,
+                   help="swept parameter name as it appears in run-dir names")
+    p.add_argument("--baseline", type=float, default=0.0)
+    p.add_argument("--metrics", default="test/maphashing_level0",
+                   help="comma-separated; the first gets the paired-Δ column")
+    p.add_argument("--out", default=None, help="also write the table here")
+    args = p.parse_args()
+
+    metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
+    runs = collect(args.log_dir, args.study, args.sweep_key)
+    if not runs:
+        raise SystemExit(f"no runs matching {args.study}*{args.sweep_key}=... "
+                         f"under {args.log_dir}")
+    table = render(runs, metrics, args.baseline, args.sweep_key)
+    print(table)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(table + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Unit tests for the study analysis tooling (studies/{paired_analysis,
+aggregate_results}.py) on synthetic run trees — fast tier."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "studies"))
+
+from paired_analysis import collect, mean_std, render  # noqa: E402
+
+
+def _write_run(root, study, lam, seed, mapv, ortho):
+    d = root / f"{study}_ortho_scale={lam}_seed={seed}"
+    d.mkdir(parents=True)
+    with open(d / "metrics.jsonl", "w") as f:
+        f.write(json.dumps({"step": 1, "train/ortho_raw": ortho + 1.0}) + "\n")
+        f.write(json.dumps({"step": 2, "test/maphashing_level0": mapv,
+                            "train/ortho_raw": ortho}) + "\n")
+
+
+def test_paired_analysis_cancels_seed_offset(tmp_path):
+    # seed 334 runs 0.05 below seed 333 at EVERY λ (pure seed offset);
+    # λ=10 costs exactly 0.004 within each seed. The paired Δ must recover
+    # the 0.004 with zero σ while the unpaired group σ stays at 0.025.
+    study = "fake_lambda"
+    for seed, offs in ((333, 0.0), (334, -0.05)):
+        _write_run(tmp_path, study, 0, seed, 0.30 + offs, 7.7)
+        _write_run(tmp_path, study, 10, seed, 0.296 + offs, 4.6)
+    runs = collect(str(tmp_path), study, "ortho_scale")
+    assert set(runs) == {(0.0, 333), (0.0, 334), (10.0, 333), (10.0, 334)}
+    # last-line-wins metric reading
+    assert runs[(0.0, 333)]["train/ortho_raw"] == 7.7
+
+    table = render(runs, ["test/maphashing_level0"], 0.0, "ortho_scale")
+    rows = table.splitlines()
+    assert "| 0 |" in rows[2] and "| 10 |" in rows[3]
+    # unpaired σ reflects the seed offset…
+    assert "0.2710 ± 0.0250" in rows[3]
+    # …paired Δ removes it exactly
+    assert "-0.0040 ± 0.0000 (n=2)" in rows[3]
+
+
+def test_mean_std_skips_missing():
+    mu, sd, n = mean_std([1.0, None, 3.0])
+    assert (mu, n) == (2.0, 2) and abs(sd - 1.0) < 1e-12
