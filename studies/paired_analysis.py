@@ -43,20 +43,28 @@ def read_last(run_dir: str) -> dict:
     return last
 
 
-def collect(log_dir: str, study: str, sweep_key: str):
-    """{(sweep_value, seed): last-metrics} from run-dir names of the
-    run_plan convention ``<study>_<key>=<value>_seed=<seed>`` (any order)."""
+def collect(log_dir: str, study: str, sweep_key: str, group_key: str | None = None):
+    """{(group_value, sweep_value, seed): last-metrics} from run-dir names of
+    the run_plan convention ``<study>_<key>=<value>_seed=<seed>`` (any order).
+    With no ``group_key`` the group value is fixed at 0.0."""
     runs = {}
-    pat = re.compile(rf"{re.escape(sweep_key)}=([^_/]+)")
-    seed_pat = re.compile(r"seed=(\d+)")
+    pat = re.compile(rf"(?:^|_){re.escape(sweep_key)}=([^_/]+)")
+    seed_pat = re.compile(r"(?:^|_)seed=(\d+)")
+    grp_pat = re.compile(rf"(?:^|_){re.escape(group_key)}=([^_/]+)") if group_key else None
     for d in sorted(glob.glob(os.path.join(log_dir, f"{study}*"))):
         name = os.path.basename(d)
         m, s = pat.search(name), seed_pat.search(name)
         if not (m and s):
             continue
+        g = 0.0
+        if grp_pat is not None:
+            gm = grp_pat.search(name)
+            if not gm:
+                continue
+            g = float(gm.group(1))
         last = read_last(d)
         if last:
-            runs[(float(m.group(1)), int(s.group(1)))] = last
+            runs[(g, float(m.group(1)), int(s.group(1)))] = last
     return runs
 
 
@@ -69,28 +77,37 @@ def mean_std(vals):
     return mu, sd, len(vals)
 
 
-def render(runs, metrics, baseline: float, sweep_key: str) -> str:
-    values = sorted({v for v, _ in runs})
-    seeds = sorted({s for _, s in runs})
-    head = (f"| {sweep_key} | "
+def render(runs, metrics, baseline: float, sweep_key: str,
+           group_key: str | None = None) -> str:
+    groups = sorted({g for g, _, _ in runs})
+    values = sorted({v for _, v, _ in runs})
+    seeds = sorted({s for _, _, s in runs})
+    head = ((f"| {group_key} " if group_key else "")
+            + f"| {sweep_key} | "
             + " | ".join(m.split("/")[-1] for m in metrics)
-            + f" | paired Δ {metrics[0].split('/')[-1]} vs {baseline} |")
-    lines = [head, "|---|" + "---|" * (len(metrics) + 1)]
-    for v in values:
-        cells = []
-        for m in metrics:
-            mu, sd, _ = mean_std(
-                [runs[(v, s)].get(m) for s in seeds if (v, s) in runs])
-            cells.append(f"{mu:.4f} ± {sd:.4f}")
-        deltas = [
-            runs[(v, s)][metrics[0]] - runs[(baseline, s)][metrics[0]]
-            for s in seeds
-            if (v, s) in runs and (baseline, s) in runs
-            and metrics[0] in runs[(v, s)] and metrics[0] in runs[(baseline, s)]
-        ]
-        dmu, dsd, n = mean_std(deltas)
-        lines.append(f"| {v:g} | " + " | ".join(cells)
-                     + f" | {dmu:+.4f} ± {dsd:.4f} (n={n}) |")
+            + f" | paired Δ {metrics[0].split('/')[-1]} vs {sweep_key}={baseline} |")
+    lines = [head,
+             ("|---" if group_key else "") + "|---|" + "---|" * (len(metrics) + 1)]
+    for g in groups:
+        for v in values:
+            cells = []
+            for m in metrics:
+                mu, sd, _ = mean_std(
+                    [runs[(g, v, s)].get(m) for s in seeds if (g, v, s) in runs])
+                cells.append(f"{mu:.4f} ± {sd:.4f}")
+            # pairing is within (group, seed): same data order, same init —
+            # only the swept knob differs, so seed variance cancels
+            deltas = [
+                runs[(g, v, s)][metrics[0]] - runs[(g, baseline, s)][metrics[0]]
+                for s in seeds
+                if (g, v, s) in runs and (g, baseline, s) in runs
+                and metrics[0] in runs[(g, v, s)]
+                and metrics[0] in runs[(g, baseline, s)]
+            ]
+            dmu, dsd, n = mean_std(deltas)
+            lines.append((f"| {g:g} " if group_key else "")
+                         + f"| {v:g} | " + " | ".join(cells)
+                         + f" | {dmu:+.4f} ± {dsd:.4f} (n={n}) |")
     return "\n".join(lines)
 
 
@@ -100,6 +117,9 @@ def main():
     p.add_argument("--study", required=True)
     p.add_argument("--sweep-key", required=True,
                    help="swept parameter name as it appears in run-dir names")
+    p.add_argument("--group-key", default=None,
+                   help="optional second sweep axis: the paired Δ is computed "
+                        "within each (group value, seed) cell")
     p.add_argument("--baseline", type=float, default=0.0)
     p.add_argument("--metrics", default="test/maphashing_level0",
                    help="comma-separated; the first gets the paired-Δ column")
@@ -107,11 +127,11 @@ def main():
     args = p.parse_args()
 
     metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
-    runs = collect(args.log_dir, args.study, args.sweep_key)
+    runs = collect(args.log_dir, args.study, args.sweep_key, args.group_key)
     if not runs:
         raise SystemExit(f"no runs matching {args.study}*{args.sweep_key}=... "
                          f"under {args.log_dir}")
-    table = render(runs, metrics, args.baseline, args.sweep_key)
+    table = render(runs, metrics, args.baseline, args.sweep_key, args.group_key)
     print(table)
     if args.out:
         with open(args.out, "w") as f:

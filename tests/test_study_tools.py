@@ -28,9 +28,11 @@ def test_paired_analysis_cancels_seed_offset(tmp_path):
         _write_run(tmp_path, study, 0, seed, 0.30 + offs, 7.7)
         _write_run(tmp_path, study, 10, seed, 0.296 + offs, 4.6)
     runs = collect(str(tmp_path), study, "ortho_scale")
-    assert set(runs) == {(0.0, 333), (0.0, 334), (10.0, 333), (10.0, 334)}
+    # no group key → group value pinned at 0.0
+    assert set(runs) == {(0.0, 0.0, 333), (0.0, 0.0, 334),
+                         (0.0, 10.0, 333), (0.0, 10.0, 334)}
     # last-line-wins metric reading
-    assert runs[(0.0, 333)]["train/ortho_raw"] == 7.7
+    assert runs[(0.0, 0.0, 333)]["train/ortho_raw"] == 7.7
 
     table = render(runs, ["test/maphashing_level0"], 0.0, "ortho_scale")
     rows = table.splitlines()
@@ -39,6 +41,34 @@ def test_paired_analysis_cancels_seed_offset(tmp_path):
     assert "0.2710 ± 0.0250" in rows[3]
     # …paired Δ removes it exactly
     assert "-0.0040 ± 0.0000 (n=2)" in rows[3]
+
+
+def test_paired_analysis_group_key(tmp_path):
+    # two-axis sweep (run_plan names sort keys: ortho_scale, seed,
+    # num_queries — trailing): λ=1 is free at q=2 but costs 0.01 at q=12,
+    # within every seed. --group-key num_queries must separate the two.
+    study = "fake_qscan"
+    for seed, offs in ((333, 0.0), (334, -0.05)):
+        for q, cost in ((2, 0.0), (12, -0.01)):
+            for lam in (0, 1):
+                d = tmp_path / (f"{study}_ortho_scale={lam}_seed={seed}"
+                                f"_num_queries={q}")
+                d.mkdir(parents=True)
+                mapv = 0.30 + offs + (cost if lam else 0.0)
+                with open(d / "metrics.jsonl", "w") as f:
+                    f.write(json.dumps(
+                        {"test/maphashing_level0": mapv}) + "\n")
+    runs = collect(str(tmp_path), study, "ortho_scale",
+                   group_key="num_queries")
+    assert len(runs) == 8
+    table = render(runs, ["test/maphashing_level0"], 0.0, "ortho_scale",
+                   group_key="num_queries")
+    rows = table.splitlines()
+    # q=2: λ=1 paired Δ exactly 0; q=12: exactly −0.01, both σ=0
+    assert any(r.startswith("| 2 | 1 |") and "+0.0000 ± 0.0000 (n=2)" in r
+               for r in rows)
+    assert any(r.startswith("| 12 | 1 |") and "-0.0100 ± 0.0000 (n=2)" in r
+               for r in rows)
 
 
 def test_mean_std_skips_missing():
