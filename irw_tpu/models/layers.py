@@ -35,6 +35,30 @@ def global_pool(x, pool: str = "avg"):
     raise ValueError(f"unknown pool {pool!r}")
 
 
+class QuantDense(nn.Module):
+    """Drop-in Dense with an int8 dynamically-quantized matmul
+    (ops/quant.py).  Same param leaves (kernel/bias, float, lecun-normal)
+    as ``nn.Dense`` — instantiate with the explicit auto-name
+    (``name="Dense_0"``) to keep an existing param tree bit-identical.
+    Inference-only: the round() in the quantizer has zero gradient.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from irw_tpu.ops.quant import quant_dense_apply
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return quant_dense_apply(x.astype(self.dtype), kernel, bias,
+                                 out_dtype=self.dtype)
+
+
 class Mlp(nn.Module):
     """Transformer MLP: Linear → GELU → Linear → Dropout.
 
@@ -42,25 +66,35 @@ class Mlp(nn.Module):
     VPU, measured; activation diff ~1e-3); ``exact_gelu=True`` switches to
     the erf form torch nn.GELU()/DINOv2 compute — needed for bit-parity
     with converted torch weights (tests/test_converter_numeric.py).
+
+    ``quant_int8=True`` routes both matmuls through the int8 MXU path
+    (ops/quant.py) with the identical param tree — serving only.
     """
 
     hidden_dim: int
     out_dim: int
     dropout: float = 0.0
     exact_gelu: bool = False
+    quant_int8: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from jax.ad_checkpoint import checkpoint_name
 
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+        if self.quant_int8:
+            dense = lambda feats, name: QuantDense(  # noqa: E731
+                feats, dtype=self.dtype, name=name)
+        else:
+            dense = lambda feats, name: nn.Dense(  # noqa: E731
+                feats, dtype=self.dtype, name=name)
+        x = dense(self.hidden_dim, "Dense_0")(x)
         x = nn.gelu(x, approximate=not self.exact_gelu)
         # name the activation so selective-remat policies can pin it
         # (vit.py "dots_no_batch_gelu": the transcendental is the costly
         # part of the elementwise recompute chain); identity outside remat
         x = checkpoint_name(x, "mlp_act")
-        x = nn.Dense(self.out_dim, dtype=self.dtype)(x)
+        x = dense(self.out_dim, "Dense_1")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 

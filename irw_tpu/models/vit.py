@@ -146,6 +146,54 @@ class FusedMHA(nn.Module):
         return ctx @ ok.reshape(h * hd, d).astype(self.dtype) + ob.astype(self.dtype)
 
 
+class QuantMHA(nn.Module):
+    """Self-attention with int8 dynamically-quantized projections
+    (ops/quant.py): q/k/v/out matmuls run on the MXU's int8 path (2× bf16
+    peak on v5e); the attention core (QKᵀ, softmax, AV) stays in the float
+    compute dtype where it is VPU/layout-bound.  Param tree is identical to
+    flax MultiHeadDotProductAttention (via the same ``_Proj`` holders as
+    FusedMHA), so converted checkpoints and TP specs apply unchanged.
+    Serving only — the quantizer's round() has zero gradient.
+
+    Unlike FusedMHA the three projections stay SEPARATE matmuls: the fused
+    concat measured slower (see FusedMHA note) and nothing about int8
+    changes that layout argument.
+    """
+
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y, train: bool = False):
+        from irw_tpu.ops.quant import quant_dense_apply
+
+        b, n, d = y.shape
+        h = self.num_heads
+        hd = d // h
+        qk, qb = _Proj((d, h, hd), (h, hd), name="query")()
+        kk, kb = _Proj((d, h, hd), (h, hd), name="key")()
+        vk, vb = _Proj((d, h, hd), (h, hd), name="value")()
+        ok, ob = _Proj((h, hd, d), (d,), in_axis=(0, 1), out_axis=(2,),
+                       name="out")()
+        y = y.astype(self.dtype)
+
+        def proj(kern, bias):
+            out = quant_dense_apply(y, kern.reshape(d, h * hd),
+                                    bias.reshape(h * hd),
+                                    out_dtype=self.dtype)
+            return out.reshape(b, n, h, hd)
+
+        q, k, v = proj(qk, qb), proj(kk, kb), proj(vk, vb)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q / math.sqrt(hd), k)
+        weights = jax.nn.softmax(scores, axis=-1)
+        if self.dropout > 0.0:
+            weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(b, n, h * hd)
+        return quant_dense_apply(ctx, ok.reshape(h * hd, d), ob,
+                                 out_dtype=self.dtype)
+
+
 class SplitCLSMHA(nn.Module):
     """Self-attention in lane-aligned blocks for ViT's N = 256 + 1 tokens.
 
@@ -273,13 +321,20 @@ class Block(nn.Module):
     split_cls: bool = False  # lane-aligned CLS-split attention (same params)
     exact_gelu: bool = False  # erf GELU for converted-torch-weight parity
     tag_attn_probs: bool = False  # name-tag softmax output for remat policies
+    quant_int8: bool = False  # int8 MXU matmuls for qkv/out/mlp (serving only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, domain=None):
+        if self.quant_int8 and train:
+            raise ValueError("quant_int8 is a serving-only path: the int8 "
+                             "quantizer's round() has zero gradient")
         dim = x.shape[-1]
         y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm1")(x, domain)
-        if self.use_flash:
+        if self.quant_int8:
+            attn_out = QuantMHA(self.num_heads, dropout=self.dropout,
+                                dtype=self.dtype, name="attn")(y, train=train)
+        elif self.use_flash:
             attn_out = _flash_mha(y, self.num_heads, self.dtype, name="attn")
         elif self.split_cls:
             attn_out = SplitCLSMHA(self.num_heads, dropout=self.dropout,
@@ -308,7 +363,8 @@ class Block(nn.Module):
         x = x + attn_out * ls1
         y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm2")(x, domain)
         mlp_out = Mlp(int(dim * self.mlp_ratio), dim, self.dropout,
-                      exact_gelu=self.exact_gelu, dtype=self.dtype)(y, train=train)
+                      exact_gelu=self.exact_gelu, quant_int8=self.quant_int8,
+                      dtype=self.dtype)(y, train=train)
         ls2 = self.param("ls2", nn.initializers.constant(self.layerscale_init),
                          (dim,)).astype(self.dtype)
         x = x + mlp_out * ls2
@@ -339,6 +395,7 @@ class VisionTransformer(nn.Module):
     fused_qkv: bool = False  # fuse q/k/v into one matmul (same param tree)
     split_cls: bool = False  # lane-aligned CLS-split attention (same param tree)
     exact_gelu: bool = False  # erf GELU (torch parity); default tanh approx
+    quant_int8: bool = False  # int8 MXU serving path (same param tree)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -384,6 +441,7 @@ class VisionTransformer(nn.Module):
             fused_qkv=self.fused_qkv,
             split_cls=self.split_cls,
             exact_gelu=self.exact_gelu,
+            quant_int8=self.quant_int8,
             # name-tag the softmax output only when a *_attn policy will
             # pin it — the name barrier is free numerically but can change
             # XLA fusion decisions, so don't tag unconditionally

@@ -107,6 +107,32 @@ def test_export_without_baked_weights(flagship, tmp_path):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_export_quant_int8(flagship, tmp_path):
+    """--quant int8 export path: the quantized program accepts the float
+    checkpoint verbatim (identical param tree) and its artifact stays
+    directionally faithful to the float forward (ops/quant.py)."""
+    import jax.tree_util as jtu
+    from jax import export as jexport
+
+    from irw_tpu.models import get_model
+
+    model, variables, shape, x = flagship
+    qmodel = get_model(
+        "multidino_attention_hashing_ortho", backbone="vit_tiny", nbits=16,
+        fusion_config={"type": "cross_attention_advanced", "output_dim": 64,
+                       "num_queries": 4, "num_heads": 2},
+        vit_kwargs={"quant_int8": True})
+    out = str(tmp_path / "q.jaxexp")
+    export_model(qmodel, variables, shape, out_path=out)
+    fn = jexport.deserialize(open(out, "rb").read()).call
+    got = np.asarray(jax.jit(fn)(x))
+    ref = np.asarray(model.apply(variables, x, train=False)[0])
+    assert got.shape == ref.shape
+    cos = (got * ref).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1) + 1e-9)
+    assert (cos > 0.97).all(), cos
+
+
 def test_export_with_device_transform(flagship, tmp_path):
     """device_transform folds the SWT featurization into the program: the
     artifact takes raw uint8 images and matches transform+apply."""

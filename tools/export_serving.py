@@ -102,7 +102,7 @@ def export_model(model, variables, input_shape, out_path: str | None = None,
     return exported
 
 
-def _from_run(run_dir: str):
+def _from_run(run_dir: str, quant: str | None = None):
     """Rebuild model + eval variables from a run's rolling checkpoint (the
     config travels inside it — engine/checkpoint.py)."""
     from irw_tpu.config import Config
@@ -114,8 +114,17 @@ def _from_run(run_dir: str):
         raise SystemExit(f"no rolling checkpoint under {run_dir}")
     state, meta = restored
     config = Config(meta["config"])
+    model_cfg = dict(config.model)
+    if quant == "int8":
+        # the param tree is unchanged under quant_int8 (ops/quant.py), so
+        # the run's checkpoint applies verbatim to the quantized program
+        kw = dict(model_cfg.get("kwargs") or {})
+        vit_kw = dict(kw.get("vit_kwargs") or {})
+        vit_kw["quant_int8"] = True
+        kw["vit_kwargs"] = vit_kw
+        model_cfg["kwargs"] = kw
     getter = Getter()
-    model = getter.get_model(config.model)
+    model = getter.get_model(model_cfg)
     _, (_, device_eval) = getter.get_transform(config.get("transform", {}))
     variables = {"params": state["params"]}
     if state.get("batch_stats"):
@@ -144,6 +153,10 @@ def main():
                          "kernels need concrete dims)")
     ap.add_argument("--serve-batch", type=int, default=64,
                     help="fixed batch size for --with-transform artifacts")
+    ap.add_argument("--quant", choices=["int8"], default=None,
+                    help="int8 dynamic-quant matmuls for the ViT qkv/out/mlp "
+                         "(MXU int8 path, 2x bf16 peak on v5e; same param "
+                         "tree, so the checkpoint applies unchanged)")
     args = ap.parse_args()
 
     import jax
@@ -153,7 +166,7 @@ def main():
         raise SystemExit("--with-transform needs --run (the transform comes "
                          "from the run's config)")
     if args.run:
-        model, variables, _, device_eval = _from_run(args.run)
+        model, variables, _, device_eval = _from_run(args.run, quant=args.quant)
         if args.with_transform:
             device_transform = device_eval
             shape = (args.height, args.width, 3)
@@ -162,7 +175,11 @@ def main():
     else:
         from irw_tpu.models import get_model
 
-        model = get_model(args.model, backbone=args.backbone, nbits=args.nbits)
+        model_kw = {}
+        if args.quant == "int8":
+            model_kw["vit_kwargs"] = {"quant_int8": True}
+        model = get_model(args.model, backbone=args.backbone, nbits=args.nbits,
+                          **model_kw)
         shape = (args.bands, args.height, args.width, 3)
         x = np.zeros((1, *shape), np.float32)
         rngs = {"params": jax.random.PRNGKey(0),
