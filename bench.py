@@ -34,7 +34,7 @@ _TRANSIENT_MARKERS = ("UNAVAILABLE", "Unable to initialize backend",
 
 
 def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=8,
-                   dtype="bfloat16", use_pallas=True):
+                   dtype="bfloat16", use_pallas=True, quant_int8=False):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +46,7 @@ def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=
         backbone=backbone,
         nbits=nbits,
         frozen_backbone=True,
-        vit_kwargs={"dtype": dtype},  # bf16 backbone compute = MXU peak path
+        vit_kwargs={"dtype": dtype, "quant_int8": quant_int8},
         fusion_config={
             "type": "cross_attention_advanced",
             "output_dim": embed_dim,
@@ -189,6 +189,20 @@ def main():
         train_extras = {"train_ips_unfrozen": None,
                         "train_bench_error": repr(exc)[:200]}
 
+    # int8 serving path (ops/quant.py): same float param tree, qkv/out/mlp
+    # matmuls on the MXU int8 path (2× bf16 peak on v5e); codes at init are
+    # bit-identical to float (tests/test_quant.py), so this is a pure
+    # throughput axis
+    int8_extras = {}
+    try:
+        _, q_pipeline = build_pipeline(quant_int8=True)
+        q_time = time_pipeline(accel, batch, iters=10, variables=variables,
+                               pipeline=q_pipeline)
+        int8_extras = {"infer_ips_int8": round(batch_size / q_time, 2)}
+    except Exception as exc:
+        int8_extras = {"infer_ips_int8": None,
+                       "int8_bench_error": repr(exc)[:160]}
+
     # VOC-sized retrieval eval wall-clock (5717 × 5717 Hamming + metric suite)
     from irw_tpu.ops.metrics import compute_retrieval_metrics
 
@@ -239,6 +253,7 @@ def main():
             "voc_eval_map": round(res["map"], 4),
             "tpu_cpu_map_parity_diff": round(float(parity_diff), 6),
             "backend": jax.default_backend(),
+            **int8_extras,
             **train_extras,
         },
     }))
