@@ -77,8 +77,29 @@ def mean_std(vals):
     return mu, sd, len(vals)
 
 
+def resolve_metrics(runs, metrics):
+    """Exact metric keys pass through; bare names resolve by unique
+    '/'-suffix (``maphashing_level0`` → ``test/maphashing_level0``).  An
+    unknown or ambiguous name raises instead of silently rendering NaNs.
+    """
+    available = sorted({k for last in runs.values() for k in last})
+    resolved = []
+    for m in metrics:
+        if any(m in last for last in runs.values()):
+            resolved.append(m)
+            continue
+        hits = [k for k in available if k.endswith("/" + m)]
+        if len(hits) != 1:
+            raise SystemExit(
+                f"metric {m!r} not found{' (ambiguous)' if hits else ''}; "
+                f"available: {', '.join(available)}")
+        resolved.append(hits[0])
+    return resolved
+
+
 def render(runs, metrics, baseline: float, sweep_key: str,
            group_key: str | None = None) -> str:
+    metrics = resolve_metrics(runs, metrics)
     groups = sorted({g for g, _, _ in runs})
     values = sorted({v for _, v, _ in runs})
     seeds = sorted({s for _, _, s in runs})

@@ -74,3 +74,18 @@ def test_paired_analysis_group_key(tmp_path):
 def test_mean_std_skips_missing():
     mu, sd, n = mean_std([1.0, None, 3.0])
     assert (mu, n) == (2.0, 2) and abs(sd - 1.0) < 1e-12
+
+
+def test_render_resolves_bare_metric_names(tmp_path):
+    # bare names resolve by unique '/'-suffix; unknown names raise instead
+    # of silently rendering an all-NaN table
+    import pytest
+
+    study = "fake_lambda"
+    for seed in (333, 334):
+        _write_run(tmp_path, study, 0, seed, 0.30, 7.7)
+    runs = collect(str(tmp_path), study, "ortho_scale")
+    table = render(runs, ["maphashing_level0"], 0.0, "ortho_scale")
+    assert "0.3000 ± 0.0000" in table
+    with pytest.raises(SystemExit, match="not found"):
+        render(runs, ["no_such_metric"], 0.0, "ortho_scale")
