@@ -22,7 +22,10 @@ HF_DEFAULT_CONFIGS = {
                           num_attention_heads=12, image_size=224, patch_size=16),
     "vit_b16_hf": dict(kind="vit", hidden_size=768, num_hidden_layers=12,
                         num_attention_heads=12, image_size=224, patch_size=16),
-    "siglip2": dict(kind="clip", hidden_size=768, num_hidden_layers=12,
+    # google/siglip2-base-patch16-224 (config/model/siglip2.yaml): the
+    # fixed-res SigLIP-2 checkpoints use the SigLIP vision architecture —
+    # no CLS token, attention-pool head (irw_tpu/models/siglip.py)
+    "siglip2": dict(kind="siglip", hidden_size=768, num_hidden_layers=12,
                      num_attention_heads=12, image_size=224, patch_size=16),
     "metaclip2": dict(kind="clip", hidden_size=768, num_hidden_layers=12,
                        num_attention_heads=12, image_size=224, patch_size=16),
@@ -46,6 +49,10 @@ def build_hf_config(variant: str, **overrides):
         from transformers import CLIPVisionConfig
 
         return CLIPVisionConfig(**common)
+    if cfg["kind"] == "siglip":
+        from transformers import SiglipVisionConfig
+
+        return SiglipVisionConfig(**common)
     from transformers import ViTConfig
 
     return ViTConfig(**common)
@@ -54,9 +61,16 @@ def build_hf_config(variant: str, **overrides):
 def build_hf_flax_model(variant: str, do_init: bool = False, **overrides):
     """The transformers Flax model for a variant (uninitialised by default;
     the converter needs ``do_init=True`` — transformers' torch→flax
-    converter reads the template tree from ``model.params``)."""
+    converter reads the template tree from ``model.params``).
+
+    SigLIP has no transformers Flax class — those variants use the native
+    tower (irw_tpu/models/siglip.py) and never reach here."""
+    kind = HF_DEFAULT_CONFIGS[variant]["kind"]
+    if kind == "siglip":
+        raise ValueError("siglip variants use irw_tpu.models.siglip."
+                         "SiglipVisionTower (transformers has no Flax SigLIP)")
     config = build_hf_config(variant, **overrides)
-    if HF_DEFAULT_CONFIGS[variant]["kind"] == "clip":
+    if kind == "clip":
         from transformers import FlaxCLIPVisionModel
 
         return FlaxCLIPVisionModel(config, _do_init=do_init)
@@ -75,15 +89,32 @@ class HuggingFaceVisionWrapper(nn.Module):
     normalize: bool = True
 
     def setup(self):
-        self.tower = build_hf_flax_model(self.variant).module
+        if HF_DEFAULT_CONFIGS[self.variant]["kind"] == "siglip":
+            from irw_tpu.models.siglip import SiglipVisionTower
+
+            cfg = HF_DEFAULT_CONFIGS[self.variant]
+            self.tower = SiglipVisionTower(
+                hidden_size=cfg["hidden_size"],
+                num_layers=cfg["num_hidden_layers"],
+                num_heads=cfg["num_attention_heads"],
+                patch_size=cfg["patch_size"],
+                image_size=cfg["image_size"],
+                intermediate_size=cfg.get("intermediate_size",
+                                          cfg["hidden_size"] * 4),
+            )
+        else:
+            self.tower = build_hf_flax_model(self.variant).module
 
     def __call__(self, x, train: bool = False):
-        # the inner transformers Flax modules take channel-LAST pixel_values
-        # (the outer FlaxPreTrainedModel wrapper, which we bypass, is what
-        # transposes NCHW→NHWC — modeling_flax_clip.py:761); our pipeline is
-        # already NHWC, so pass through unchanged
-        out = self.tower(pixel_values=x, deterministic=not train)
-        pooled = out.pooler_output
+        if HF_DEFAULT_CONFIGS[self.variant]["kind"] == "siglip":
+            pooled, _ = self.tower(x, train=train)
+        else:
+            # the inner transformers Flax modules take channel-LAST
+            # pixel_values (the outer FlaxPreTrainedModel wrapper, which we
+            # bypass, is what transposes NCHW→NHWC —
+            # modeling_flax_clip.py:761); our pipeline is already NHWC
+            out = self.tower(pixel_values=x, deterministic=not train)
+            pooled = out.pooler_output
         aux = {"ortho_loss": jnp.float32(0.0)}
         if self.normalize:
             return l2_normalize(pooled), aux

@@ -357,6 +357,75 @@ def test_hf_tower_converted_forward_matches_torch(monkeypatch, rng, kind, torch_
     np.testing.assert_allclose(np.asarray(f_norm), t_norm, atol=2e-5)
 
 
+def test_siglip_tower_converted_forward_matches_torch(monkeypatch, rng):
+    """irw_tpu/models/siglip.py vs the ACTUAL transformers torch
+    SiglipVisionModel (the architecture behind google/siglip2-base-
+    patch16-224, config/model/siglip2.yaml) — patch embed, pre-LN encoder,
+    post-LN, and the multihead-attention pooling head must all line up
+    through convert_siglip's transpose/split mapping."""
+    import transformers
+
+    from irw_tpu.models.hf_wrapper import HuggingFaceVisionWrapper, build_hf_config
+    from tools.convert_torch_weights import convert_hf_vision
+
+    variant = _tiny_variant(monkeypatch, "siglip")
+    tm = transformers.SiglipVisionModel(build_hf_config(variant)).eval()
+    tree = convert_hf_vision(tm.state_dict(), variant)
+
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        out = tm(pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        t_pooled = out.pooler_output.numpy()
+        t_hidden = out.last_hidden_state.numpy()
+
+    wrapper = HuggingFaceVisionWrapper(variant=variant, normalize=False)
+    f_pooled, aux = wrapper.apply(tree, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(f_pooled), t_pooled, atol=2e-5)
+    assert float(aux["ortho_loss"]) == 0.0
+
+    # tower-level: the pre-pool token stream must also match (catches a
+    # compensating-error pool head)
+    from irw_tpu.models import hf_wrapper as hw
+    from irw_tpu.models.siglip import SiglipVisionTower
+
+    cfg = hw.HF_DEFAULT_CONFIGS[variant]
+    tower = SiglipVisionTower(
+        hidden_size=cfg["hidden_size"], num_layers=cfg["num_hidden_layers"],
+        num_heads=cfg["num_attention_heads"], patch_size=cfg["patch_size"],
+        image_size=cfg["image_size"],
+        intermediate_size=cfg["intermediate_size"])
+    _, f_hidden = tower.apply({"params": tree["params"]["tower"]},
+                              jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(f_hidden), t_hidden, atol=2e-5)
+
+
+def test_siglip_converted_tree_structure_matches_wrapper_init(monkeypatch):
+    """convert_siglip output must be loadable where a fresh wrapper init
+    is — identical key paths and shapes."""
+    import jax
+    import transformers
+
+    from irw_tpu.models.hf_wrapper import HuggingFaceVisionWrapper, build_hf_config
+    from tools.convert_torch_weights import convert_hf_vision
+
+    variant = _tiny_variant(monkeypatch, "siglip")
+    tm = transformers.SiglipVisionModel(build_hf_config(variant))
+    tree = convert_hf_vision(tm.state_dict(), variant)
+
+    wrapper = HuggingFaceVisionWrapper(variant=variant)
+    init_tree = jax.eval_shape(
+        lambda: wrapper.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 32, 32, 3), jnp.float32)))
+
+    def paths(t):
+        return {
+            "/".join(str(getattr(p, "key", p)) for p in path): tuple(l.shape)
+            for path, l in jax.tree_util.tree_leaves_with_path(t)
+        }
+
+    assert paths(tree) == paths(init_tree)
+
+
 def test_hf_converted_tree_structure_matches_wrapper_init(monkeypatch, rng):
     """The converted tree must be loadable where a fresh wrapper init is —
     identical key paths and shapes (so factory-built clip/siglip2/metaclip2

@@ -17,8 +17,14 @@ irw_tpu.models.vit module structures.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+# the HF paths import irw_tpu (shared config/variant table) — make direct
+# `python tools/convert_torch_weights.py` invocations find the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _t(x):
@@ -192,6 +198,64 @@ def stack_scanned_blocks(params: dict, depth: int) -> dict:
     return params
 
 
+def convert_siglip(sd: dict) -> dict:
+    """torch ``SiglipVisionModel`` state dict (the architecture behind
+    google/siglip2-base-patch16-224, config/model/siglip2.yaml) →
+    ``HuggingFaceVisionWrapper(variant='siglip2')`` params
+    (irw_tpu/models/siglip.SiglipVisionTower).
+
+    Pure transpose/split mapping: torch Linear (out,in) → flax kernel
+    (in,out); the pooling head's fused ``in_proj`` splits row-wise into
+    q/k/v.  Forward parity vs the actual transformers torch implementation
+    is asserted in tests/test_converter_numeric.py."""
+    pre = "vision_model."
+    sd = {k[len(pre):] if k.startswith(pre) else k: _t(v)
+          for k, v in sd.items() if "position_ids" not in k}
+
+    def lin(key):
+        return {"kernel": sd[f"{key}.weight"].T, "bias": sd[f"{key}.bias"]}
+
+    def ln(key):
+        return {"scale": sd[f"{key}.weight"], "bias": sd[f"{key}.bias"]}
+
+    tower: dict = {
+        "patch_embedding": {
+            # torch conv (O,I,kh,kw) → flax (kh,kw,I,O)
+            "kernel": sd["embeddings.patch_embedding.weight"].transpose(2, 3, 1, 0),
+            "bias": sd["embeddings.patch_embedding.bias"],
+        },
+        "position_embedding": sd["embeddings.position_embedding.weight"],
+        "post_layernorm": ln("post_layernorm"),
+    }
+    depth = max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.layers.")) + 1
+    for i in range(depth):
+        p = f"encoder.layers.{i}"
+        tower[f"layers_{i}"] = {
+            "layer_norm1": ln(f"{p}.layer_norm1"),
+            "layer_norm2": ln(f"{p}.layer_norm2"),
+            "q_proj": lin(f"{p}.self_attn.q_proj"),
+            "k_proj": lin(f"{p}.self_attn.k_proj"),
+            "v_proj": lin(f"{p}.self_attn.v_proj"),
+            "out_proj": lin(f"{p}.self_attn.out_proj"),
+            "fc1": lin(f"{p}.mlp.fc1"),
+            "fc2": lin(f"{p}.mlp.fc2"),
+        }
+    d = tower["position_embedding"].shape[-1]
+    in_w = sd["head.attention.in_proj_weight"]  # (3D, D), rows [q; k; v]
+    in_b = sd["head.attention.in_proj_bias"]
+    tower["head"] = {
+        "probe": sd["head.probe"],
+        "q_proj": {"kernel": in_w[:d].T, "bias": in_b[:d]},
+        "k_proj": {"kernel": in_w[d:2 * d].T, "bias": in_b[d:2 * d]},
+        "v_proj": {"kernel": in_w[2 * d:].T, "bias": in_b[2 * d:]},
+        "out_proj": lin("head.attention.out_proj"),
+        "layernorm": ln("head.layernorm"),
+        "fc1": lin("head.mlp.fc1"),
+        "fc2": lin("head.mlp.fc2"),
+    }
+    return {"params": {"tower": tower}}
+
+
 def convert_hf_vision(sd: dict, variant: str = "clip_vit_b16", **config_overrides) -> dict:
     """torch ``transformers`` vision-tower state dict (CLIPVisionModel /
     ViTModel — the towers the reference pulls at runtime for
@@ -208,8 +272,10 @@ def convert_hf_vision(sd: dict, variant: str = "clip_vit_b16", **config_override
         convert_pytorch_state_dict_to_flax,
     )
 
-    from irw_tpu.models.hf_wrapper import build_hf_flax_model
+    from irw_tpu.models.hf_wrapper import HF_DEFAULT_CONFIGS, build_hf_flax_model
 
+    if HF_DEFAULT_CONFIGS[variant]["kind"] == "siglip":
+        return convert_siglip(sd)
     flax_model = build_hf_flax_model(variant, do_init=True, **config_overrides)
     sd = {k: (v if isinstance(v, torch.Tensor) else torch.as_tensor(v))
           for k, v in sd.items()}
