@@ -45,6 +45,11 @@ def build_hf_config(variant: str, **overrides):
         patch_size=cfg["patch_size"],
         intermediate_size=cfg.get("intermediate_size", cfg["hidden_size"] * 4),
     )
+    # real checkpoints can override activation/eps (e.g. CLIP quick_gelu vs
+    # MetaCLIP gelu) — pass through when given (converter --config-json)
+    for k in ("hidden_act", "layer_norm_eps"):
+        if k in cfg:
+            common[k] = cfg[k]
     if cfg["kind"] == "clip":
         from transformers import CLIPVisionConfig
 
@@ -87,12 +92,17 @@ class HuggingFaceVisionWrapper(nn.Module):
 
     variant: str = "clip_vit_b16"
     normalize: bool = True
+    # same override dialect as build_hf_config / the converter's
+    # --config-json: a model built with the overrides a checkpoint was
+    # converted with is guaranteed to match it (e.g. hidden_act)
+    config_overrides: dict | None = None
 
     def setup(self):
+        overrides = dict(self.config_overrides or {})
         if HF_DEFAULT_CONFIGS[self.variant]["kind"] == "siglip":
             from irw_tpu.models.siglip import SiglipVisionTower
 
-            cfg = HF_DEFAULT_CONFIGS[self.variant]
+            cfg = {**HF_DEFAULT_CONFIGS[self.variant], **overrides}
             self.tower = SiglipVisionTower(
                 hidden_size=cfg["hidden_size"],
                 num_layers=cfg["num_hidden_layers"],
@@ -101,9 +111,10 @@ class HuggingFaceVisionWrapper(nn.Module):
                 image_size=cfg["image_size"],
                 intermediate_size=cfg.get("intermediate_size",
                                           cfg["hidden_size"] * 4),
+                layer_norm_eps=cfg.get("layer_norm_eps", 1e-6),
             )
         else:
-            self.tower = build_hf_flax_model(self.variant).module
+            self.tower = build_hf_flax_model(self.variant, **overrides).module
 
     def __call__(self, x, train: bool = False):
         if HF_DEFAULT_CONFIGS[self.variant]["kind"] == "siglip":

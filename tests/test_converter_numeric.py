@@ -357,6 +357,38 @@ def test_hf_tower_converted_forward_matches_torch(monkeypatch, rng, kind, torch_
     np.testing.assert_allclose(np.asarray(f_norm), t_norm, atol=2e-5)
 
 
+def test_hf_config_override_hidden_act(monkeypatch, rng):
+    """--config-json dialect: a checkpoint trained with hidden_act='gelu'
+    (e.g. MetaCLIP) must convert AND apply with that activation — both the
+    converter and the wrapper take the same overrides."""
+    import transformers
+
+    from irw_tpu.models.hf_wrapper import HuggingFaceVisionWrapper, build_hf_config
+    from tools.convert_torch_weights import convert_hf_vision
+
+    variant = _tiny_variant(monkeypatch, "clip")
+    cfg = build_hf_config(variant, hidden_act="gelu")
+    assert cfg.hidden_act == "gelu"  # preset default is quick_gelu
+    tm = transformers.CLIPVisionModel(cfg).eval()
+    tree = convert_hf_vision(tm.state_dict(), variant, hidden_act="gelu")
+
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        t_pooled = tm(pixel_values=torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).pooler_output.numpy()
+
+    wrapper = HuggingFaceVisionWrapper(variant=variant, normalize=False,
+                                       config_overrides={"hidden_act": "gelu"})
+    f_pooled, _ = wrapper.apply(tree, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(f_pooled), t_pooled, atol=2e-5)
+
+    # the preset (quick_gelu) wrapper must NOT match — the override is load-
+    # bearing, not cosmetic
+    wrong, _ = HuggingFaceVisionWrapper(variant=variant, normalize=False).apply(
+        tree, jnp.asarray(x), train=False)
+    assert np.abs(np.asarray(wrong) - t_pooled).max() > 1e-4
+
+
 def test_siglip_tower_converted_forward_matches_torch(monkeypatch, rng):
     """irw_tpu/models/siglip.py vs the ACTUAL transformers torch
     SiglipVisionModel (the architecture behind google/siglip2-base-

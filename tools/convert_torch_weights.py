@@ -304,6 +304,12 @@ def main():
     parser.add_argument("--dst", required=True)
     parser.add_argument("--scan", action="store_true",
                         help="emit the scan_blocks ViT layout (stacked depth axis)")
+    parser.add_argument("--config-json", default=None,
+                        help="HF kinds only: the checkpoint's own config.json "
+                             "(vision_config honored) — real checkpoints can "
+                             "differ from the local preset (hidden sizes, "
+                             "hidden_act quick_gelu vs gelu); keys present in "
+                             "the file override the preset")
     args = parser.parse_args()
 
     import torch
@@ -319,7 +325,19 @@ def main():
     elif args.kind == "densenet121":
         tree = convert_densenet(sd)
     elif args.kind in HF_KINDS:
-        tree = convert_hf_vision(sd, variant=args.kind)
+        overrides = {}
+        if args.config_json:
+            import json
+
+            with open(args.config_json) as f:
+                cj = json.load(f)
+            cj = cj.get("vision_config", cj)
+            overrides = {k: cj[k] for k in
+                         ("hidden_size", "num_hidden_layers",
+                          "num_attention_heads", "image_size", "patch_size",
+                          "intermediate_size", "hidden_act", "layer_norm_eps")
+                         if k in cj}
+        tree = convert_hf_vision(sd, variant=args.kind, **overrides)
     else:
         tree = convert_dinov2(sd)
         if args.scan:
