@@ -12,9 +12,11 @@ repo has no quantization support at all):
   per-call requantization streams the (small) weight tensors once —
   ~0.4 ms for all four flagship ViTs at 819 GB/s — and in exchange the
   param tree, checkpoints, torch converter, and tensor-parallel specs all
-  apply unchanged.  (Weights are NOT closed over / pre-baked: the axon
-  remote-compile service rejects large constant-carrying programs, see
-  CLAUDE.md.)
+  apply unchanged.  (Weights are not closed over in the TRAIN/EVAL paths:
+  the axon remote-compile service rejects large constant-carrying
+  programs, see CLAUDE.md.  Baked serving artifacts — lowered locally by
+  jax.export — may instead pre-bake the kernels as int8 constants via
+  ``compress_params_int8``: ~4× smaller files, ≤1 ulp output difference.)
 - **Activations**: dynamic symmetric per-token (last-axis) int8.  The amax
   reduction + scale division fuse into the surrounding elementwise chain;
   no calibration pass or data is needed, which matters because serving
@@ -29,11 +31,12 @@ float compute dtype: they are VPU-bound and quantizing them buys nothing.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 from jax import lax
 
 _INT8_MAX = 127.0
-_EPS = 1e-8
 
 
 def quantize_symmetric(x, reduce_axes, dtype=jnp.float32):
@@ -44,7 +47,10 @@ def quantize_symmetric(x, reduce_axes, dtype=jnp.float32):
     1) such that ``q * scale ≈ x``.
     """
     amax = jnp.max(jnp.abs(x), axis=reduce_axes, keepdims=True)
-    scale = (amax / _INT8_MAX + _EPS).astype(dtype)
+    # exact amax/127 (zero-guarded) rather than +eps: the scale is then a
+    # fixed point of requantization — quantizing a reconstructed ``q * s``
+    # reproduces the same q (compress_params_int8 relies on this)
+    scale = jnp.where(amax > 0, amax / _INT8_MAX, 1.0).astype(dtype)
     q = jnp.clip(jnp.round(x / scale), -_INT8_MAX, _INT8_MAX).astype(jnp.int8)
     return q, scale
 
@@ -65,6 +71,75 @@ def int8_dot(x, kernel, out_dtype=None):
         preferred_element_type=jnp.int32,
     )
     return (acc.astype(out_dtype) * (xs * ws).astype(out_dtype))
+
+
+class QuantizedLeaf(NamedTuple):
+    """An int8-compressed kernel: ``q * s`` reconstructs the float leaf.
+    A NamedTuple so compressed trees stay jit-closable pytrees."""
+
+    q: object  # int8, original kernel shape
+    s: object  # float scale, reduce axes kept as size-1
+
+
+def _quant_leaf_axes(path):
+    """The reduction axes quant_dense_apply's requantization uses for a
+    kernel leaf at ``path`` (names per models/vit._Proj and layers.Mlp),
+    or None if the leaf is not on the quant_int8 matmul path.
+
+    Per-channel groups must MATCH the apply-time (reshaped 2-D) groups so
+    that requantizing the reconstructed kernel reproduces the same int8
+    grid bit-exactly: q/k/v kernels (…, d, h, hd) reduce d; the out
+    kernel (…, h, hd, d) reduces (h, hd); Mlp Dense kernels (…, K, N)
+    reduce K.  Leading scan/vmap axes (depth, band) are left intact.
+    """
+    names = [str(getattr(p, "key", p)) for p in path]
+    if not any(n.startswith("Block_") or n == "blocks" for n in names):
+        return None  # only the ViT tower runs the quant path
+    if names[-1] != "kernel":
+        return None
+    parent = names[-2]
+    if parent in ("query", "key", "value"):
+        return lambda nd: (nd - 3,)
+    if parent == "out":
+        return lambda nd: (nd - 3, nd - 2)
+    if parent.startswith("Dense_"):
+        return lambda nd: (nd - 2,)
+    return None
+
+
+def compress_params_int8(tree):
+    """Replace the quant-path kernels in a param tree with QuantizedLeaf
+    (int8 + per-channel scale) — ~4× smaller when serialized as baked
+    jax.export constants.  A ``quant_int8=True`` model applied to the
+    ``decompress_params_int8`` reconstruction reproduces the float tree's
+    outputs to ≤1 ulp: the reconstruction lands exactly on the int8 grid
+    the runtime requantization snaps to (the scale is a fixed point of
+    requantization), leaving only the (127*s)/127 float round-trip
+    (tests/test_quant.py).
+    """
+    import jax
+
+    def visit(path, leaf):
+        axes_fn = _quant_leaf_axes(path)
+        if axes_fn is None or getattr(leaf, "ndim", 0) < 2:
+            return leaf
+        q, s = quantize_symmetric(jnp.asarray(leaf), axes_fn(leaf.ndim))
+        return QuantizedLeaf(q=q, s=s)
+
+    return jax.tree_util.tree_map_with_path(visit, tree)
+
+
+def decompress_params_int8(tree, dtype=jnp.float32):
+    """Reconstruct float kernels from QuantizedLeaf nodes (inside jit, so
+    baked artifacts carry int8 constants and dequantize on device)."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda l: (l.q.astype(dtype) * l.s.astype(dtype))
+        if isinstance(l, QuantizedLeaf) else l,
+        tree,
+        is_leaf=lambda l: isinstance(l, QuantizedLeaf),
+    )
 
 
 def quant_dense_apply(x, kernel, bias=None, out_dtype=None):

@@ -123,7 +123,13 @@ def test_export_quant_int8(flagship, tmp_path):
                        "num_queries": 4, "num_heads": 2},
         vit_kwargs={"quant_int8": True})
     out = str(tmp_path / "q.jaxexp")
-    export_model(qmodel, variables, shape, out_path=out)
+    export_model(qmodel, variables, shape, out_path=out, compress_int8=True)
+    # the quant-path kernels bake as int8 constants (smaller artifact)
+    out_f = str(tmp_path / "f.jaxexp")
+    export_model(model, variables, shape, out_path=out_f)
+    import os
+
+    assert os.path.getsize(out) < os.path.getsize(out_f)
     fn = jexport.deserialize(open(out, "rb").read()).call
     got = np.asarray(jax.jit(fn)(x))
     ref = np.asarray(model.apply(variables, x, train=False)[0])

@@ -99,6 +99,51 @@ def test_vit_quant_forward_faithful_and_train_guarded():
         q.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
 
 
+def test_compress_params_int8_bit_identical_through_quant_path():
+    """compress→decompress must land exactly on the int8 grid the runtime
+    requantization snaps to: a quant_int8 ViT applied to the reconstructed
+    tree gives BIT-IDENTICAL outputs to the float tree, for both the
+    unrolled and the scanned (stacked-depth) layouts."""
+    from irw_tpu.ops.quant import (
+        QuantizedLeaf,
+        compress_params_int8,
+        decompress_params_int8,
+    )
+
+    x = jnp.asarray(np.random.RandomState(6).randn(2, 32, 32, 3),
+                    dtype=jnp.float32)
+    for scan in (False, True):
+        q = VisionTransformer(embed_dim=64, depth=2, num_heads=2, patch_size=8,
+                              img_size=32, quant_int8=True, scan_blocks=scan)
+        v = q.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        ctree = compress_params_int8(v)
+        qleaves = [l for l in jax.tree_util.tree_leaves(
+            ctree, is_leaf=lambda l: isinstance(l, QuantizedLeaf))
+            if isinstance(l, QuantizedLeaf)]
+        # q/k/v/out + 2 mlp kernels per block; scanned stacks them
+        assert len(qleaves) == (6 if scan else 12)
+        assert all(l.q.dtype == jnp.int8 for l in qleaves)
+        ref, _ = q.apply(v, x, train=False)
+        got, _ = q.apply(decompress_params_int8(ctree), x, train=False)
+        # requantization reproduces the identical int8 grid; the only
+        # residual is the ≤1-ulp scale round-trip (127*s)/127
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_compress_params_int8_leaves_non_vit_alone():
+    """Fusion/hash-head kernels (no Block scope) must pass through
+    untouched — they run the float path."""
+    from irw_tpu.ops.quant import QuantizedLeaf, compress_params_int8
+
+    tree = {"params": {"HashHead_0": {"Dense_0": {
+        "kernel": jnp.ones((8, 4)), "bias": jnp.zeros((4,))}}}}
+    out = compress_params_int8(tree)
+    leaf = out["params"]["HashHead_0"]["Dense_0"]["kernel"]
+    assert not isinstance(leaf, QuantizedLeaf)
+    np.testing.assert_array_equal(np.asarray(leaf), np.ones((8, 4)))
+
+
 def test_vit_quant_composes_with_scan_blocks():
     vit_kw = dict(embed_dim=64, depth=2, num_heads=2, patch_size=8,
                   img_size=32)

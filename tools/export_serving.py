@@ -37,7 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def export_model(model, variables, input_shape, out_path: str | None = None,
                  symbolic_batch: bool = True, platforms=("cpu", "tpu"),
-                 bake_weights: bool = True, device_transform=None):
+                 bake_weights: bool = True, device_transform=None,
+                 compress_int8: bool = False):
     """Serialize the eval forward; returns the jax.export.Exported object.
 
     input_shape: (S, H, W, C) per-sample subband-stack shape.  The default
@@ -88,9 +89,24 @@ def export_model(model, variables, input_shape, out_path: str | None = None,
         return out
 
     if bake_weights:
-        exported = jexport.export(
-            jax.jit(lambda x: forward(variables, x)),
-            platforms=list(platforms))(spec)
+        if compress_int8:
+            # bake the quant-path kernels as int8 constants (~4× smaller
+            # artifact); dequant happens inside the program and a
+            # quant_int8 model reproduces the float tree's outputs to
+            # ≤1 ulp (ops/quant.py compress/decompress contract)
+            from irw_tpu.ops.quant import (
+                compress_params_int8,
+                decompress_params_int8,
+            )
+
+            ctree = compress_params_int8(variables)
+            exported = jexport.export(
+                jax.jit(lambda x: forward(decompress_params_int8(ctree), x)),
+                platforms=list(platforms))(spec)
+        else:
+            exported = jexport.export(
+                jax.jit(lambda x: forward(variables, x)),
+                platforms=list(platforms))(spec)
     else:
         var_specs = jax.tree_util.tree_map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
@@ -191,7 +207,10 @@ def main():
         model, variables, shape, out_path=args.out,
         bake_weights=not args.no_bake_weights,
         device_transform=device_transform,
-        symbolic_batch=True if device_transform is None else args.serve_batch)
+        symbolic_batch=True if device_transform is None else args.serve_batch,
+        # quantized baked artifacts also bake the quant-path kernels as
+        # int8 constants — ~4× smaller, bit-identical outputs
+        compress_int8=args.quant == "int8" and not args.no_bake_weights)
     size = os.path.getsize(args.out)
     print(f"exported {exported.fun_name} -> {args.out} "
           f"({size / 1e6:.1f} MB, in {exported.in_avals}, "
