@@ -39,6 +39,17 @@ def wait_for_checkpoints() -> None:
         _ASYNC_CKPTR.wait_until_finished()
 
 
+def finalize_checkpoints(log_dir: str) -> None:
+    """End-of-training barrier: commit the in-flight async save AND promote
+    ``rolling.next`` → ``rolling``.  ``wait_for_checkpoints`` alone leaves
+    the final save parked at ``rolling.next`` (promotion normally happens
+    on the NEXT save/load), so a finished run would have no
+    ``weights/rolling`` until something reads it — offline tools that
+    stat the path (not via load_checkpoint) would miss it."""
+    wait_for_checkpoints()
+    _promote_rolling(_ckpt_dir(log_dir))
+
+
 def _promote_rolling(base: str) -> None:
     """Promote a committed ``rolling.next`` async save to ``rolling``.
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from irw_tpu.engine.checkpoint import save_checkpoint, wait_for_checkpoints
+from irw_tpu.engine.checkpoint import finalize_checkpoints, save_checkpoint
 from irw_tpu.engine.evaluate import evaluate
 from irw_tpu.engine.train import MetricsLogger, _build_hyper
 from irw_tpu.engine.train_step import build_train_step
@@ -172,7 +172,7 @@ def train_dsch(
                 LOGGER.info(f"[dsch] early stop at epoch {epoch} (patience {patience})")
                 break
 
-    wait_for_checkpoints()
+    finalize_checkpoints(log_dir)  # commit + promote the final async save
     if best_state is not None:
         state = jax.tree_util.tree_map(jnp.asarray, best_state)
     return state, metrics_by_split

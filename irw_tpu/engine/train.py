@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from irw_tpu.engine.batch_map import build_fast_eval_subset
-from irw_tpu.engine.checkpoint import save_checkpoint, wait_for_checkpoints
+from irw_tpu.engine.checkpoint import finalize_checkpoints, save_checkpoint
 from irw_tpu.engine.evaluate import evaluate
 from irw_tpu.engine.train_step import build_train_step
 from irw_tpu.data.loader import EpochLoader
@@ -433,5 +433,6 @@ def train(
                 async_save=bool(exp.get("async_checkpoint", True)),
             )
 
-    wait_for_checkpoints()  # commit the final rolling save before returning
+    # commit the final rolling save AND promote rolling.next -> rolling
+    finalize_checkpoints(log_dir)
     return state, metrics_by_split
