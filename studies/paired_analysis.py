@@ -48,6 +48,15 @@ def collect(log_dir: str, study: str, sweep_key: str, group_key: str | None = No
     the run_plan convention ``<study>_<key>=<value>_seed=<seed>`` (any order).
     With no ``group_key`` the group value is fixed at 0.0."""
     runs = {}
+
+    def as_num(v: str) -> float:
+        # boolean sweeps (e.g. use_bn) render as True/False in run names
+        if v in ("True", "true"):
+            return 1.0
+        if v in ("False", "false"):
+            return 0.0
+        return float(v)
+
     pat = re.compile(rf"(?:^|_){re.escape(sweep_key)}=([^_/]+)")
     seed_pat = re.compile(r"(?:^|_)seed=(\d+)")
     grp_pat = re.compile(rf"(?:^|_){re.escape(group_key)}=([^_/]+)") if group_key else None
@@ -61,10 +70,10 @@ def collect(log_dir: str, study: str, sweep_key: str, group_key: str | None = No
             gm = grp_pat.search(name)
             if not gm:
                 continue
-            g = float(gm.group(1))
+            g = as_num(gm.group(1))
         last = read_last(d)
         if last:
-            runs[(g, float(m.group(1)), int(s.group(1)))] = last
+            runs[(g, as_num(m.group(1)), int(s.group(1)))] = last
     return runs
 
 

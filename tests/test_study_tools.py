@@ -76,6 +76,22 @@ def test_mean_std_skips_missing():
     assert (mu, n) == (2.0, 2) and abs(sd - 1.0) < 1e-12
 
 
+def test_collect_boolean_sweep_values(tmp_path):
+    # boolean sweeps (use_bn) render as True/False in run-dir names
+    study = "fake_bn"
+    for seed in (333, 334):
+        for flag, mapv in (("True", 0.31), ("False", 0.27)):
+            d = tmp_path / f"{study}_seed={seed}_use_bn={flag}"
+            d.mkdir(parents=True)
+            with open(d / "metrics.jsonl", "w") as f:
+                f.write(json.dumps({"test/maphashing_level0": mapv}) + "\n")
+    runs = collect(str(tmp_path), study, "use_bn")
+    assert {(v, s) for _, v, s in runs} == {(1.0, 333), (1.0, 334),
+                                            (0.0, 333), (0.0, 334)}
+    table = render(runs, ["test/maphashing_level0"], 0.0, "use_bn")
+    assert "+0.0400 ± 0.0000 (n=2)" in table
+
+
 def test_render_resolves_bare_metric_names(tmp_path):
     # bare names resolve by unique '/'-suffix; unknown names raise instead
     # of silently rendering an all-NaN table
