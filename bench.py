@@ -139,9 +139,17 @@ def main():
     # ≥3 iterations so the denominator isn't a single noisy sample
     cpu = jax.devices("cpu")[0]
     cpu_batch = batch[:8]
-    # CPU leg uses the jnp wavelet path (compiled pallas is TPU-only)
+    # CPU leg uses the jnp wavelet path (compiled pallas is TPU-only).
+    # Persistent cache OFF for the CPU compile: XLA:CPU AOT entries are
+    # keyed without host CPU features, and loading one cached on a
+    # different machine aborts the process (utils/misc.enable_compile_cache)
     _, cpu_pipeline = build_pipeline(use_pallas=False)
-    cpu_time = time_pipeline(cpu, cpu_batch, iters=3, variables=variables, pipeline=cpu_pipeline)
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+        cpu_time = time_pipeline(cpu, cpu_batch, iters=3, variables=variables,
+                                 pipeline=cpu_pipeline)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
     cpu_ips = cpu_batch.shape[0] / cpu_time
 
     # unfrozen flagship train step (the reference study's actual regime:
@@ -230,14 +238,18 @@ def main():
         small_codes, small_labels, small_codes, small_labels,
         metric="hamming", k=512, same_source=True,
     )
-    with jax.default_device(jax.devices("cpu")[0]):
-        res_small_cpu = compute_retrieval_metrics(
-            jax.device_put(small_codes, jax.devices("cpu")[0]),
-            jax.device_put(small_labels, jax.devices("cpu")[0]),
-            jax.device_put(small_codes, jax.devices("cpu")[0]),
-            jax.device_put(small_labels, jax.devices("cpu")[0]),
-            metric="hamming", k=512, same_source=True,
-        )
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)  # CPU leg
+        with jax.default_device(jax.devices("cpu")[0]):
+            res_small_cpu = compute_retrieval_metrics(
+                jax.device_put(small_codes, jax.devices("cpu")[0]),
+                jax.device_put(small_labels, jax.devices("cpu")[0]),
+                jax.device_put(small_codes, jax.devices("cpu")[0]),
+                jax.device_put(small_labels, jax.devices("cpu")[0]),
+                metric="hamming", k=512, same_source=True,
+            )
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
     parity_diff = abs(res_small_tpu["map"] - res_small_cpu["map"])
 
     print(json.dumps({

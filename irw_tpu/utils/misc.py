@@ -17,9 +17,17 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
     Entry points call this before the first trace; repeat programs and
     the λ-independent eval/kNN executables then hit the on-disk cache.
     Idempotent and safe to call after jax is imported.
+
+    TPU-only: XLA:CPU persists AOT executables keyed WITHOUT the host's
+    CPU feature set, so a cache populated on one machine type aborts
+    (SIGILL) when loaded on another — observed as ``Fatal Python error:
+    Aborted`` inside jitted CPU ops after a host migration
+    (cpu_aot_loader warns exactly this).  CPU runs recompile fresh.
     """
     import jax
 
+    if jax.default_backend() == "cpu":
+        return
     if cache_dir is None:
         cache_dir = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
