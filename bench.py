@@ -97,10 +97,15 @@ def main():
     import jax
 
     # persistent compile cache: repeat bench runs skip the multi-minute
-    # XLA compilation of the flagship graph
+    # XLA compilation of the flagship graph.  TPU-only: XLA:CPU AOT entries
+    # are keyed without host CPU features, and loading one written on a
+    # previous host SIGILLs the process (CLAUDE.md; utils/misc) — under the
+    # CPU harness the bench must run uncached.
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        if jax.default_backend() != "cpu":
+            jax.config.update("jax_compilation_cache_dir",
+                              "/root/repo/.jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
 

@@ -125,7 +125,8 @@ class NUSWIDEHashing(_ManifestMultiLabel):
     """
 
     num_classes = 21
-    default_topk = 5000
+    # protocol top-k 5000 (_data.py:84) comes from the experience config
+    # (configs/experience/default.yaml evaluation.top_k), not the dataset
 
     def __init__(self, data_dir: str, mode: str = "train",
                  img_dir: str = "images", **kw):

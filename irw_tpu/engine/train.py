@@ -241,8 +241,11 @@ def train(
                 + (f" × band={bp}" if bp > 1 else "")
                 + (f" × model={mp} (tensor parallel)" if mp > 1 else ""))
         else:
+            # replicated params (correct for dp AND for pp, whose stage
+            # slicing happens inside pp_apply_fn, not in the param layout)
             state = jax.device_put(state, NamedSharding(mesh, P()))
-            LOGGER.info(f"training data-parallel over {n_dev} devices")
+            if pp <= 1:
+                LOGGER.info(f"training data-parallel over {n_dev} devices")
     adaptive = bool(exp.get("adaptive_weights", False)) or any(
         entry.get("weight") == "adaptative" for entry in (config.get("loss") or [])
     )

@@ -281,10 +281,12 @@ def build_train_step(
                 vec_terms.append(xbm.weight * mem_value)
 
         ortho = aux.get("ortho_loss", jnp.float32(0.0))
-        # the UNscaled constraint violation: observable at λ=0 too, so λ
-        # ablations can read the dose-response in constraint space even when
-        # the task metric is insensitive (hard-CPU λ study, round 4)
-        parts["ortho_raw"] = ortho
+        # the UNscaled constraint violation (pre-ortho_weight AND
+        # pre-ortho_scale, emitted by the fusion head): observable at λ=0
+        # too, so λ ablations can read the dose-response in constraint space
+        # even when the task metric is insensitive (hard-CPU λ study, r4).
+        # Heads without a raw term fall back to the (scaled) ortho_loss.
+        parts["ortho_raw"] = aux.get("ortho_raw", ortho)
         if ortho_scale is not None:
             # runtime λ (experience.ortho_scale, fed through ``hyper`` as an
             # array): multiplies the fusion head's ortho penalty WITHOUT

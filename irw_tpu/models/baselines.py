@@ -20,21 +20,37 @@ from irw_tpu.models.vit import VIT_DIMS, make_vit
 
 class DINOHashBaseline(nn.Module):
     """Single ViT + Linear(no-bias)+BN hash head; logits in train, sign in
-    eval (dino_baseline.py:4-35).  Input: plain images (B, H, W, C)."""
+    eval (dino_baseline.py:4-35).  Input: plain images (B, H, W, C).
+
+    Setup-style with the nn.compact-era auto-names pinned explicitly, so
+    checkpoints/converter trees are unchanged and the pipeline-parallel
+    apply (parallel/pp.py) can delegate to ``head_out`` as the single
+    source of truth for the head + binarize tail."""
 
     backbone: str = "dinov2_vits14"
     nbits: int = 64
     frozen_backbone: bool = True
     vit_kwargs: dict | None = None
 
-    @nn.compact
+    def setup(self):
+        from .vit import VisionTransformer, vit_config
+
+        self.vit = VisionTransformer(
+            **vit_config(self.backbone, **(self.vit_kwargs or {})),
+            name="VisionTransformer_0")
+        self.head = HashHead(self.nbits, use_bn=True, name="HashHead_0")
+
     def __call__(self, x, train: bool = False):
-        cls, _ = make_vit(self.backbone, **(self.vit_kwargs or {}))(
-            x, train=train and not self.frozen_backbone
-        )
+        cls, _ = self.vit(x, train=train and not self.frozen_backbone)
         if self.frozen_backbone:
             cls = jax.lax.stop_gradient(cls)
-        logits = HashHead(self.nbits, use_bn=True)(cls, train=train)
+        return self.head_out(cls, train)
+
+    def head_out(self, cls, train: bool = False):
+        """Hash head + binarize on precomputed cls embeddings (the pp
+        train step pipelines the backbone, then applies this via
+        ``model.apply(..., method="head_out")``)."""
+        logits = self.head(cls, train=train)
         return binarize(logits, train), {"ortho_loss": jnp.float32(0.0)}
 
 

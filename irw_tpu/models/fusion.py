@@ -173,22 +173,26 @@ class CrossAttentionBottleneckHead(nn.Module):
             gram = qn @ qn.T
             eye = jnp.eye(self.num_queries, dtype=gram.dtype)
             raw_err = jnp.linalg.norm(gram - eye)
-            ortho = self.ortho_weight * nn.relu(raw_err - self.margin) ** 2
-            ortho = jnp.where(train, ortho, 0.0)
+            raw = jnp.where(train, nn.relu(raw_err - self.margin) ** 2, 0.0)
         else:
             # ‖M Mᵀ − I‖²_F on the batch-mean attention matrix (:748-753);
             # zeroed when the LL band was dropped, like the reference (:748)
             m = weights.mean(axis=0)  # (num_queries, S)
             eye = jnp.eye(self.num_queries, dtype=m.dtype)
-            ortho = self.ortho_weight * jnp.sum((m @ m.T - eye) ** 2)
-            ortho = jnp.where(train, ortho * (1.0 - mask_ll), 0.0)
+            raw = jnp.where(
+                train, jnp.sum((m @ m.T - eye) ** 2) * (1.0 - mask_ll), 0.0)
+        ortho = self.ortho_weight * raw
 
         x = nn.LayerNorm(name="norm1")(qb + attn_out)
         x = x + Mlp(self.embed_dim * 4, self.embed_dim, self.dropout)(x, train=train)
         x = x.reshape(b, -1)
         x = nn.Dense(self.embed_dim, name="out_proj")(x)
         x = nn.LayerNorm(name="norm2")(x)
-        return x, {"ortho_loss": ortho, "attn_weights": weights}
+        # ortho_raw: the constraint violation BEFORE ortho_weight (and before
+        # any runtime ortho_scale) — λ ablations read dose-response in
+        # constraint space from it, comparably across configs
+        return x, {"ortho_loss": ortho, "ortho_raw": raw,
+                   "attn_weights": weights}
 
 
 class GateFusionHead(nn.Module):

@@ -177,7 +177,6 @@ def pp_apply_fn(model, *, mesh: Mesh, n_microbatches: int,
     optimizers and XBM are untouched.
     """
     from irw_tpu.models.baselines import DINOHashBaseline
-    from irw_tpu.models.layers import HashHead, binarize
     from irw_tpu.models.vit import make_vit
 
     if not isinstance(model, DINOHashBaseline):
@@ -187,7 +186,26 @@ def pp_apply_fn(model, *, mesh: Mesh, n_microbatches: int,
             "Multi-branch models: use band/tensor parallelism "
             "(experience.band_parallel / model_parallel).")
     vit = make_vit(model.backbone, **(model.vit_kwargs or {}))
-    head = HashHead(model.nbits, use_bn=True)
+    # validate everything statically known NOW, as NotImplementedError: the
+    # engine's graceful fallback to data parallelism catches exactly that at
+    # construction (engine/train.py) — a trace-time raise would instead kill
+    # the run at the first batch
+    n_stages = mesh.shape[axis_name]
+    problems = []
+    if not vit.scan_blocks:
+        problems.append("requires the scanned block layout (scan_blocks)")
+    if vit.num_prompts:
+        problems.append("prompt tokens not supported")
+    if vit.num_domains > 1:
+        problems.append("single-domain only")
+    if vit.dropout and not model.frozen_backbone:
+        problems.append(
+            f"train forward requires dropout=0 (got {vit.dropout})")
+    if vit.depth % n_stages:
+        problems.append(
+            f"depth {vit.depth} not divisible by {n_stages} stages")
+    if problems:
+        raise NotImplementedError("pp path: " + "; ".join(problems))
 
     def apply(variables, images, *, rngs=None, mutable=(), train=True,
               **kwargs):
@@ -198,15 +216,11 @@ def pp_apply_fn(model, *, mesh: Mesh, n_microbatches: int,
             data_axis=data_axis, train=train and not model.frozen_backbone)
         if model.frozen_backbone:
             cls = jax.lax.stop_gradient(cls)
-        head_vars = {"params": params["HashHead_0"]}
-        bs = variables.get("batch_stats") or {}
-        if bs:
-            head_vars["batch_stats"] = bs["HashHead_0"]
-        logits, new_vars = head.apply(head_vars, cls, train=train,
-                                      mutable=["batch_stats"])
-        out = (binarize(logits, train), {"ortho_loss": jnp.float32(0.0)})
-        new_bs = ({"HashHead_0": new_vars["batch_stats"]}
-                  if "batch_stats" in new_vars else {})
-        return out, {"batch_stats": new_bs}
+        # head + binarize tail: delegate to the model itself (single source
+        # of truth — a future head/binarize change cannot desync the pp path)
+        out, new_vars = model.apply(variables, cls, train,
+                                    method="head_out",
+                                    mutable=["batch_stats"])
+        return out, new_vars
 
     return apply

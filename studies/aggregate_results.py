@@ -146,15 +146,21 @@ def main():
             "|---|" + "---|" * (len(metrics) + 1),
         ]
         for g in groups:
-            cells, n_runs = [], 0
+            cells, ns = [], []
             for m in metrics:
                 got = per_metric[m].get(g)
                 if got is None:
                     cells.append("—")
+                    ns.append(0)
                 else:
-                    mean, std, n_runs = got
+                    mean, std, n = got
                     cells.append(f"{mean:.4f} ± {std:.4f}")
-            lines.append(f"| {g} | " + " | ".join(cells) + f" | {n_runs} |")
+                    ns.append(n)
+            # n per metric (a crashed seed can log train/* but no test/*):
+            # one number when they agree, else per-metric counts in order
+            n_cell = (str(ns[0]) if len(set(ns)) == 1
+                      else "/".join(str(n) for n in ns))
+            lines.append(f"| {g} | " + " | ".join(cells) + f" | {n_cell} |")
         with open(args.markdown, "w") as f:
             f.write("\n".join(lines) + "\n")
         print(f"markdown table -> {args.markdown}")

@@ -82,6 +82,35 @@ def test_cross_attention_ortho_loss_positive(rng):
     assert float(aux_e["ortho_loss"]) == 0.0
 
 
+def test_cross_attention_ortho_raw_is_unscaled(rng):
+    """aux['ortho_raw'] is the PRE-ortho_weight constraint violation:
+    observable at λ=0 and comparable across configs with different λ
+    (feeds train/ortho_raw in engine/train_step.py)."""
+    bands = jnp.asarray(rng.randn(4, 4, 32), dtype=jnp.float32)
+
+    def head_with(w):
+        return get_fusion_head(
+            {
+                "type": "cross_attention_advanced",
+                "output_dim": 32,
+                "num_heads": 4,
+                "num_queries": 4,
+                "ortho_weight": w,
+                "sub_band_dropout_p": 0.0,
+            },
+            32,
+        )
+
+    _, aux, _ = init_and_apply(head_with(0.5), bands, train=True)
+    assert float(aux["ortho_raw"]) > 0
+    assert np.isclose(float(aux["ortho_loss"]),
+                      0.5 * float(aux["ortho_raw"]), rtol=1e-6)
+    # λ=0: zero penalty, but the violation stays observable
+    _, aux0, _ = init_and_apply(head_with(0.0), bands, train=True)
+    assert float(aux0["ortho_loss"]) == 0.0
+    assert float(aux0["ortho_raw"]) > 0
+
+
 def test_multidino_hashing_routing(rng):
     m = get_model(
         "multidino_attention_hashing_ortho",

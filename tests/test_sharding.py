@@ -647,6 +647,34 @@ def test_pipeline_parallel_train_step_grads_match(devices, rng):
 
 
 
+def test_pp_apply_fn_validates_at_construction(devices):
+    """Statically-known invalid pp configs raise NotImplementedError at
+    pp_apply_fn CONSTRUCTION — where the engine's fallback-to-dp
+    try/except lives (engine/train.py) — not at first-batch trace time,
+    which would kill the run mid-epoch."""
+    from jax.sharding import Mesh
+
+    from irw_tpu.models import get_model
+    from irw_tpu.parallel import pp_apply_fn
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("stage",))
+
+    def baseline(**vit_kwargs):
+        return get_model(
+            "dino_hash_baseline", backbone="vit_tiny", nbits=8,
+            frozen_backbone=False,
+            vit_kwargs={"depth": 4, "scan_blocks": True, **vit_kwargs})
+
+    with pytest.raises(NotImplementedError, match="dropout"):
+        pp_apply_fn(baseline(dropout=0.1), mesh=mesh, n_microbatches=4)
+    with pytest.raises(NotImplementedError, match="divisible"):
+        pp_apply_fn(baseline(depth=3), mesh=mesh, n_microbatches=4)
+    with pytest.raises(NotImplementedError, match="scan"):
+        pp_apply_fn(baseline(scan_blocks=False), mesh=mesh, n_microbatches=4)
+    # the valid config constructs without raising
+    pp_apply_fn(baseline(), mesh=mesh, n_microbatches=4)
+
+
 def test_pipeline_parallel_engine_knob(devices, tmp_path, rng):
     """experience.pipeline_parallel=2 drives the full epoch loop through
     the pipelined train step (engine/train.py pp branch) on a
