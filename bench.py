@@ -291,7 +291,41 @@ def _run_with_retries() -> int:
     # a wedged axon tunnel HANGS rather than failing fast (observed round 4):
     # bound each attempt so the retry loop actually gets to retry
     attempt_timeout = int(os.environ.get("IRW_BENCH_ATTEMPT_TIMEOUT", "2700"))
+    probe_timeout = int(os.environ.get("IRW_BENCH_PROBE_TIMEOUT", "300"))
+
+    def _chip_answers() -> tuple[bool, str]:
+        """Cheap liveness probe in a FRESH interpreter (a backend-init
+        failure is cached for the life of a process).  Bounds the cost of
+        a hung tunnel to ``probe_timeout`` per attempt instead of paying
+        ``attempt_timeout`` (sized for a legitimate cold compile) on a
+        chip that will never answer."""
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np, jax.numpy as jnp; "
+                 "np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)))"],
+                capture_output=True, text=True, timeout=probe_timeout)
+        except subprocess.TimeoutExpired:
+            return False, f"liveness probe hung >{probe_timeout}s (wedged TPU tunnel?)"
+        if p.returncode != 0:
+            return False, (p.stderr or p.stdout or "")[-1200:]
+        return True, ""
+
     for attempt in range(attempts):
+        # the probe cannot distinguish a wedged tunnel from a chip merely
+        # HELD by another process (a second process's first dispatch blocks
+        # until the owner exits — CLAUDE.md), so it only short-circuits the
+        # NON-final attempts: the last attempt always runs the real bench
+        # with the full attempt_timeout, which waits out a busy chip
+        if attempt < attempts - 1:
+            alive, probe_tail = _chip_answers()
+            if not alive:
+                last_tail = probe_tail
+                delay = _RETRY_DELAYS[attempt]
+                print(f"bench attempt {attempt + 1}/{attempts}: backend "
+                      f"probe failed; retrying in {delay}s", file=sys.stderr)
+                time.sleep(delay)
+                continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

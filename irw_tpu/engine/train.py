@@ -196,6 +196,9 @@ def train(
                     model, mesh=pp_mesh,
                     n_microbatches=int(exp.get("pp_microbatches", 4) or 4),
                     data_axis="data" if pp_mesh.shape["data"] > 1 else None,
+                    # statically-known batch divisibility validated at
+                    # construction → the fallback below, not a trace failure
+                    batch_size=getattr(sampler, "batch_size", None),
                 )
                 mesh = pp_mesh
                 LOGGER.info(

@@ -112,6 +112,7 @@ class HuggingFaceVisionWrapper(nn.Module):
                 intermediate_size=cfg.get("intermediate_size",
                                           cfg["hidden_size"] * 4),
                 layer_norm_eps=cfg.get("layer_norm_eps", 1e-6),
+                hidden_act=cfg.get("hidden_act", "gelu_pytorch_tanh"),
             )
         else:
             self.tower = build_hf_flax_model(self.variant, **overrides).module

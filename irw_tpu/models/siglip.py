@@ -35,6 +35,26 @@ def _tanh_gelu(x):
     return nn.gelu(x, approximate=True)
 
 
+# torch transformers ACT2FN names we can reproduce exactly; a checkpoint
+# config with any other hidden_act must fail loudly rather than silently
+# diverge from the converted torch model (--config-json passes it through)
+_ACTIVATIONS = {
+    "gelu_pytorch_tanh": _tanh_gelu,
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "quick_gelu": lambda x: x * nn.sigmoid(1.702 * x),
+    "relu": nn.relu,
+}
+
+
+def _resolve_act(name: str):
+    try:
+        return _ACTIVATIONS[name]
+    except KeyError:
+        raise ValueError(
+            f"unsupported hidden_act {name!r}; supported: "
+            f"{sorted(_ACTIVATIONS)}") from None
+
+
 class SiglipAttentionBlock(nn.Module):
     """One pre-LN encoder layer (modeling_siglip.SiglipEncoderLayer):
     x += attn(ln1(x)); x += mlp(ln2(x)); softmax scale = head_dim^-0.5."""
@@ -42,6 +62,7 @@ class SiglipAttentionBlock(nn.Module):
     num_heads: int
     intermediate_size: int
     layer_norm_eps: float = 1e-6
+    hidden_act: str = "gelu_pytorch_tanh"
 
     @nn.compact
     def __call__(self, x):
@@ -58,7 +79,7 @@ class SiglipAttentionBlock(nn.Module):
         x = x + nn.Dense(d, name="out_proj")(ctx.reshape(b, n, d))
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="layer_norm2")(x)
         h = nn.Dense(self.intermediate_size, name="fc1")(h)
-        h = nn.Dense(d, name="fc2")(_tanh_gelu(h))
+        h = nn.Dense(d, name="fc2")(_resolve_act(self.hidden_act)(h))
         return x + h
 
 
@@ -71,6 +92,7 @@ class SiglipPoolingHead(nn.Module):
     num_heads: int
     intermediate_size: int
     layer_norm_eps: float = 1e-6
+    hidden_act: str = "gelu_pytorch_tanh"
 
     @nn.compact
     def __call__(self, tokens):
@@ -88,7 +110,7 @@ class SiglipPoolingHead(nn.Module):
         attn_out = nn.Dense(d, name="out_proj")(ctx.reshape(b, 1, d))
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="layernorm")(attn_out)
         h = nn.Dense(self.intermediate_size, name="fc1")(h)
-        h = nn.Dense(d, name="fc2")(_tanh_gelu(h))
+        h = nn.Dense(d, name="fc2")(_resolve_act(self.hidden_act)(h))
         return (attn_out + h)[:, 0]
 
 
@@ -105,6 +127,7 @@ class SiglipVisionTower(nn.Module):
     image_size: int = 224
     intermediate_size: int = 3072
     layer_norm_eps: float = 1e-6
+    hidden_act: str = "gelu_pytorch_tanh"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -128,9 +151,9 @@ class SiglipVisionTower(nn.Module):
         for i in range(self.num_layers):
             h = SiglipAttentionBlock(
                 self.num_heads, self.intermediate_size,
-                self.layer_norm_eps, name=f"layers_{i}")(h)
+                self.layer_norm_eps, self.hidden_act, name=f"layers_{i}")(h)
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="post_layernorm")(h)
         pooled = SiglipPoolingHead(
             self.num_heads, self.intermediate_size, self.layer_norm_eps,
-            name="head")(h)
+            self.hidden_act, name="head")(h)
         return pooled, h

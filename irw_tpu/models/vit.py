@@ -371,6 +371,30 @@ class Block(nn.Module):
         return x
 
 
+def block_kwargs(vit: "VisionTransformer") -> dict:
+    """Block construction kwargs for a VisionTransformer's configuration —
+    the SINGLE source of truth, shared by ``VisionTransformer.__call__``
+    and the pipeline-parallel forward (parallel/pp.py), so a new Block
+    flag cannot silently desync the pp path from the model's own forward."""
+    return dict(
+        num_heads=vit.num_heads,
+        mlp_ratio=vit.mlp_ratio,
+        dropout=vit.dropout,
+        num_domains=vit.num_domains,
+        use_flash=vit.use_flash,
+        fused_qkv=vit.fused_qkv,
+        split_cls=vit.split_cls,
+        exact_gelu=vit.exact_gelu,
+        quant_int8=vit.quant_int8,
+        # name-tag the softmax output only when a *_attn policy will
+        # pin it — the name barrier is free numerically but can change
+        # XLA fusion decisions, so don't tag unconditionally
+        tag_attn_probs=bool(vit.remat_policy)
+        and "attn" in str(vit.remat_policy),
+        dtype=vit.dtype,
+    )
+
+
 class VisionTransformer(nn.Module):
     """DINOv2-flavoured ViT; returns (cls_token, aux)."""
 
@@ -432,23 +456,7 @@ class VisionTransformer(nn.Module):
         tokens = tokens.astype(self.dtype)
 
         features = []
-        block_kw = dict(
-            num_heads=self.num_heads,
-            mlp_ratio=self.mlp_ratio,
-            dropout=self.dropout,
-            num_domains=self.num_domains,
-            use_flash=self.use_flash,
-            fused_qkv=self.fused_qkv,
-            split_cls=self.split_cls,
-            exact_gelu=self.exact_gelu,
-            quant_int8=self.quant_int8,
-            # name-tag the softmax output only when a *_attn policy will
-            # pin it — the name barrier is free numerically but can change
-            # XLA fusion decisions, so don't tag unconditionally
-            tag_attn_probs=bool(self.remat_policy)
-            and "attn" in str(self.remat_policy),
-            dtype=self.dtype,
-        )
+        block_kw = block_kwargs(self)
         if self.scan_blocks and not return_features:
             # collapse the depth into one lax.scan'd block: HLO holds one
             # block body instead of `depth` copies — compile time drops by

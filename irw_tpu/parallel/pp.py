@@ -122,7 +122,12 @@ def pp_vit_forward(vit, variables, x, *, mesh: Mesh, n_microbatches: int,
     if train and vit.dropout:
         raise NotImplementedError(
             "pp train forward requires dropout=0 (deterministic blocks)")
-    from irw_tpu.models.vit import Block, DomainLayerNorm, PatchEmbed
+    from irw_tpu.models.vit import (
+        Block,
+        DomainLayerNorm,
+        PatchEmbed,
+        block_kwargs,
+    )
 
     assert vit.scan_blocks, "pipeline parallelism needs the scanned layout"
     assert vit.num_prompts == 0, "pp path: prompt tokens not supported"
@@ -138,11 +143,9 @@ def pp_vit_forward(vit, variables, x, *, mesh: Mesh, n_microbatches: int,
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, vit.embed_dim))
     tokens = jnp.concatenate([cls, tokens], 1) + params["pos_embed"]
 
-    # ---- pipelined block stack
-    block = Block(
-        num_heads=vit.num_heads, mlp_ratio=vit.mlp_ratio, dropout=vit.dropout,
-        num_domains=vit.num_domains, use_flash=vit.use_flash,
-        fused_qkv=vit.fused_qkv, exact_gelu=vit.exact_gelu, dtype=vit.dtype)
+    # ---- pipelined block stack (block_kwargs: the same construction the
+    # model's own forward uses — new Block flags cannot desync this path)
+    block = Block(**block_kwargs(vit))
     stage_params = split_stages(params["blocks"]["Block_0"], mesh.shape[axis_name])
 
     def stage_fn(p_stage, toks):
@@ -163,7 +166,8 @@ def pp_vit_forward(vit, variables, x, *, mesh: Mesh, n_microbatches: int,
 
 
 def pp_apply_fn(model, *, mesh: Mesh, n_microbatches: int,
-                axis_name: str = "stage", data_axis: str | None = None):
+                axis_name: str = "stage", data_axis: str | None = None,
+                batch_size: int | None = None):
     """``model.apply``-compatible pipelined apply for single-ViT hashing
     models (DINOHashBaseline — the pp use case: one backbone that outgrows
     a chip; the 4-branch flagship scales by band parallelism first, see
@@ -201,9 +205,26 @@ def pp_apply_fn(model, *, mesh: Mesh, n_microbatches: int,
     if vit.dropout and not model.frozen_backbone:
         problems.append(
             f"train forward requires dropout=0 (got {vit.dropout})")
+    if vit.quant_int8 and not model.frozen_backbone:
+        # the stage body runs blocks with train=False (deterministic
+        # schedule), which would silently bypass Block's serving-only guard
+        # and train through the zero-gradient int8 round()
+        problems.append("quant_int8 is a serving-only path (unfrozen "
+                        "backbone would train through round()'s zero grad)")
     if vit.depth % n_stages:
         problems.append(
             f"depth {vit.depth} not divisible by {n_stages} stages")
+    if batch_size is not None:
+        # statically known at engine construction (the sampler's fixed
+        # batch size): fail HERE so the engine falls back to dp instead of
+        # dying at the first batch's trace
+        if batch_size % n_microbatches:
+            problems.append(f"batch {batch_size} not divisible by "
+                            f"{n_microbatches} microbatches")
+        elif data_axis and (batch_size // n_microbatches) % mesh.shape[data_axis]:
+            problems.append(
+                f"microbatch {batch_size // n_microbatches} not divisible "
+                f"by the {mesh.shape[data_axis]}-wide data axis")
     if problems:
         raise NotImplementedError("pp path: " + "; ".join(problems))
 

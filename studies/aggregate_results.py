@@ -87,14 +87,23 @@ def collect_runs(log_dir: str, study_prefix: str):
     return runs
 
 
-def aggregate(runs, metric_key: str, group_on_seed: bool = False):
-    """Group by experiment name minus the seed component."""
+def aggregate(runs, metric_key: str, group_on_seed: bool = False,
+              renames: dict | None = None):
+    """Group by experiment name minus the seed component.
+
+    ``renames`` maps swept-key names to canonical ones in group names
+    (e.g. ``{"ortho_scale": "ortho_weight"}``): runs swept through the
+    runtime ``experience.ortho_scale`` knob (one shared compile, base
+    ortho_weight pinned 1.0, effective λ = scale) join the groups of runs
+    that swept ``fusion_config.ortho_weight`` directly."""
     groups = defaultdict(list)
     for run_dir, metrics in runs:
         name = os.path.basename(run_dir)
         if not group_on_seed:
             parts = [p for p in name.split("_") if not p.startswith("seed=")]
             name = "_".join(parts)
+        for old, new in (renames or {}).items():
+            name = name.replace(f"{old}=", f"{new}=")
         value = metrics.get(metric_key)
         if value is not None:
             groups[name].append(value)
@@ -115,12 +124,18 @@ def main():
     parser.add_argument("--markdown", default=None,
                         help="write a committable mean±std markdown table "
                              "(one column per metric, one row per swept group)")
+    parser.add_argument("--rename", action="append", default=[],
+                        metavar="OLD=NEW",
+                        help="canonicalize a swept key in group names, e.g. "
+                             "--rename ortho_scale=ortho_weight joins runtime-λ "
+                             "runs with baked-λ runs of the same study")
     args = parser.parse_args()
 
+    renames = dict(r.split("=", 1) for r in args.rename)
     metrics = [m.strip() for m in args.metric.split(",") if m.strip()]
     runs = collect_runs(args.log_dir, args.study)
     print(f"{len(runs)} runs found")
-    summary = aggregate(runs, metrics[0])
+    summary = aggregate(runs, metrics[0], renames=renames)
     rows = []
     for name, (mean, std, n) in sorted(summary.items()):
         print(f"  {name}: {mean:.4f} ± {std:.4f} (n={n})")
@@ -133,7 +148,7 @@ def main():
             writer.writeheader()
             writer.writerows(rows)
     if args.markdown:
-        per_metric = {m: aggregate(runs, m) for m in metrics}
+        per_metric = {m: aggregate(runs, m, renames=renames) for m in metrics}
         groups = sorted({g for s in per_metric.values() for g in s})
         lines = [
             f"# {args.study} — aggregate (mean ± std over seeds)",

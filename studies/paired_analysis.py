@@ -46,7 +46,12 @@ def read_last(run_dir: str) -> dict:
 def collect(log_dir: str, study: str, sweep_key: str, group_key: str | None = None):
     """{(group_value, sweep_value, seed): last-metrics} from run-dir names of
     the run_plan convention ``<study>_<key>=<value>_seed=<seed>`` (any order).
-    With no ``group_key`` the group value is fixed at 0.0."""
+    With no ``group_key`` the group value is fixed at 0.0.
+
+    ``sweep_key`` (and ``group_key``) accept comma-separated ALIASES — e.g.
+    ``ortho_weight,ortho_scale`` joins runs that swept the baked fusion λ
+    with runs that swept the runtime ``experience.ortho_scale`` knob (base
+    weight pinned 1.0, effective λ = scale) into one sweep axis."""
     runs = {}
 
     def as_num(v: str) -> float:
@@ -57,11 +62,26 @@ def collect(log_dir: str, study: str, sweep_key: str, group_key: str | None = No
             return 0.0
         return float(v)
 
-    pat = re.compile(rf"(?:^|_){re.escape(sweep_key)}=([^_/]+)")
+    sweep_keys = [k.strip() for k in sweep_key.split(",") if k.strip()]
+    group_keys = ([k.strip() for k in group_key.split(",") if k.strip()]
+                  if group_key else [])
+
+    def key_pat(keys):
+        alt = "|".join(re.escape(k) for k in keys)
+        return re.compile(rf"(?:^|_)(?:{alt})=([^_/]+)")
+
+    pat = key_pat(sweep_keys)
     seed_pat = re.compile(r"(?:^|_)seed=(\d+)")
-    grp_pat = re.compile(rf"(?:^|_){re.escape(group_key)}=([^_/]+)") if group_key else None
-    for d in sorted(glob.glob(os.path.join(log_dir, f"{study}*"))):
+    grp_pat = key_pat(group_keys) if group_keys else None
+    # a run name is <study> followed by _<known-key>=... — requiring the
+    # known key right after the prefix keeps a study whose name extends
+    # this one (voc_lambda_hard_cpu vs …_hard_cpu_binding) out of the set
+    known = "|".join(re.escape(k) for k in (*sweep_keys, *group_keys, "seed"))
+    name_pat = re.compile(rf"^{re.escape(study)}_(?:{known})=")
+    for d in sorted(glob.glob(os.path.join(log_dir, f"{study}_*"))):
         name = os.path.basename(d)
+        if not name_pat.match(name):
+            continue
         m, s = pat.search(name), seed_pat.search(name)
         if not (m and s):
             continue
@@ -146,7 +166,9 @@ def main():
     p.add_argument("--log-dir", required=True)
     p.add_argument("--study", required=True)
     p.add_argument("--sweep-key", required=True,
-                   help="swept parameter name as it appears in run-dir names")
+                   help="swept parameter name as it appears in run-dir names; "
+                        "comma-separated aliases join differently-named runs "
+                        "into one axis (first name labels the table)")
     p.add_argument("--group-key", default=None,
                    help="optional second sweep axis: the paired Δ is computed "
                         "within each (group value, seed) cell")
@@ -161,7 +183,10 @@ def main():
     if not runs:
         raise SystemExit(f"no runs matching {args.study}*{args.sweep_key}=... "
                          f"under {args.log_dir}")
-    table = render(runs, metrics, args.baseline, args.sweep_key, args.group_key)
+    table = render(runs, metrics, args.baseline,
+                   args.sweep_key.split(",")[0].strip(),
+                   args.group_key.split(",")[0].strip() if args.group_key
+                   else None)
     print(table)
     if args.out:
         with open(args.out, "w") as f:

@@ -484,3 +484,44 @@ def test_hf_converted_tree_structure_matches_wrapper_init(monkeypatch, rng):
         }
 
     assert paths(tree) == paths(init_tree)
+
+
+def test_siglip_hidden_act_override_matches_torch(monkeypatch, rng):
+    """A SigLIP-family checkpoint whose vision_config sets hidden_act
+    (e.g. plain 'gelu') must flow through config_overrides into the native
+    tower — previously the tower hardcoded tanh-GELU and silently diverged
+    from the converted torch model."""
+    import transformers
+
+    from irw_tpu.models.hf_wrapper import HuggingFaceVisionWrapper, build_hf_config
+    from tools.convert_torch_weights import convert_hf_vision
+
+    variant = _tiny_variant(monkeypatch, "siglip")
+    cfg = build_hf_config(variant, hidden_act="gelu")
+    assert cfg.hidden_act == "gelu"
+    tm = transformers.SiglipVisionModel(cfg).eval()
+    tree = convert_hf_vision(tm.state_dict(), variant, hidden_act="gelu")
+
+    x = rng.rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        t_pooled = tm(pixel_values=torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).pooler_output.numpy()
+
+    wrapper = HuggingFaceVisionWrapper(variant=variant, normalize=False,
+                                       config_overrides={"hidden_act": "gelu"})
+    f_pooled, _ = wrapper.apply(tree, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(f_pooled), t_pooled, atol=2e-5)
+
+    # the default (tanh-GELU) wrapper must NOT match — the override is
+    # load-bearing
+    wrong, _ = HuggingFaceVisionWrapper(variant=variant, normalize=False).apply(
+        tree, jnp.asarray(x), train=False)
+    assert np.abs(np.asarray(wrong) - t_pooled).max() > 1e-5
+
+    # an activation we cannot reproduce exactly must fail loudly
+    import pytest as _pytest
+
+    from irw_tpu.models.siglip import _resolve_act
+
+    with _pytest.raises(ValueError, match="unsupported hidden_act"):
+        _resolve_act("gelu_new")

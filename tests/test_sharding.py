@@ -645,6 +645,22 @@ def test_pipeline_parallel_train_step_grads_match(devices, rng):
         err = np.linalg.norm(ref_vec - pp_vec) / np.linalg.norm(ref_vec)
         assert err < 1e-6, f"global relative L2 {err} at {n_stages} stages"
 
+    # the dp×pp composition the engine builds when devices > stages:
+    # gpipe's data_axis branch shards the microbatch sample dim — a missing
+    # psum/wrong out_spec in the shard_map transpose would corrupt
+    # gradients ONLY in this configuration (microbatch 2 % data axis 2 = 0)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                ("data", "stage"))
+    pp_params, pp_loss = run_step(
+        pp_apply_fn(model, mesh=mesh, n_microbatches=4, data_axis="data"))
+    assert abs(pp_loss - ref_loss) < 1e-5
+    pp_vec = np.concatenate([np.asarray(l, np.float64).ravel()
+                             for l in jax.tree_util.tree_leaves(pp_params)])
+    ref_vec = np.concatenate([np.asarray(l, np.float64).ravel()
+                              for l in jax.tree_util.tree_leaves(ref_params)])
+    err = np.linalg.norm(ref_vec - pp_vec) / np.linalg.norm(ref_vec)
+    assert err < 1e-6, f"global relative L2 {err} under dp4×pp2"
+
 
 
 def test_pp_apply_fn_validates_at_construction(devices):
@@ -671,8 +687,24 @@ def test_pp_apply_fn_validates_at_construction(devices):
         pp_apply_fn(baseline(depth=3), mesh=mesh, n_microbatches=4)
     with pytest.raises(NotImplementedError, match="scan"):
         pp_apply_fn(baseline(scan_blocks=False), mesh=mesh, n_microbatches=4)
-    # the valid config constructs without raising
-    pp_apply_fn(baseline(), mesh=mesh, n_microbatches=4)
+    # the serving-only int8 path must not silently train through round()'s
+    # zero gradient (the stage body runs blocks with train=False, bypassing
+    # Block's own guard)
+    with pytest.raises(NotImplementedError, match="serving-only"):
+        pp_apply_fn(baseline(quant_int8=True), mesh=mesh, n_microbatches=4)
+    # statically-known batch divisibility: caught at construction (engine
+    # fallback), not at first-batch trace
+    with pytest.raises(NotImplementedError, match="microbatches"):
+        pp_apply_fn(baseline(), mesh=mesh, n_microbatches=4, batch_size=10)
+    mesh22 = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                  ("data", "stage"))
+    with pytest.raises(NotImplementedError, match="data axis"):
+        pp_apply_fn(baseline(), mesh=mesh22, n_microbatches=4,
+                    data_axis="data", batch_size=12)
+    # the valid configs construct without raising
+    pp_apply_fn(baseline(), mesh=mesh, n_microbatches=4, batch_size=16)
+    pp_apply_fn(baseline(), mesh=mesh22, n_microbatches=4,
+                data_axis="data", batch_size=16)
 
 
 def test_pipeline_parallel_engine_knob(devices, tmp_path, rng):

@@ -105,3 +105,51 @@ def test_render_resolves_bare_metric_names(tmp_path):
     assert "0.3000 ± 0.0000" in table
     with pytest.raises(SystemExit, match="not found"):
         render(runs, ["no_such_metric"], 0.0, "ortho_scale")
+
+
+def test_collect_sweep_key_aliases_join_runs(tmp_path):
+    """Comma-separated sweep-key aliases join runs swept through the baked
+    fusion λ (ortho_weight=…) with runs swept through the runtime
+    experience.ortho_scale knob into ONE axis — the protocol seed-334
+    completion runs under the scale naming while the original runs use
+    the weight naming."""
+    study = "fake_proto"
+    # old naming (seed first, ortho_weight key)
+    d = tmp_path / f"{study}_seed=333_ortho_weight=0"
+    d.mkdir(parents=True)
+    (d / "metrics.jsonl").write_text(
+        json.dumps({"test/maphashing_level0": 0.30}) + "\n")
+    # new naming (ortho_scale key)
+    _write_run(tmp_path, study, 0.01, 333, 0.31, 0.1)
+    runs = collect(str(tmp_path), study, "ortho_weight,ortho_scale")
+    assert set(runs) == {(0.0, 0.0, 333), (0.0, 0.01, 333)}
+
+
+def test_collect_excludes_prefix_extension_studies(tmp_path):
+    """A study whose name extends this one (voc_lambda_hard_cpu vs
+    …_hard_cpu_binding) sharing one log dir must NOT be absorbed: run
+    names must continue <study>_<known-key>=…"""
+    _write_run(tmp_path, "fake_hard", 1, 333, 0.30, 0.5)
+    _write_run(tmp_path, "fake_hard_binding", 1, 333, 0.99, 9.9)
+    runs = collect(str(tmp_path), "fake_hard", "ortho_scale")
+    assert set(runs) == {(0.0, 1.0, 333)}
+    assert runs[(0.0, 1.0, 333)]["test/maphashing_level0"] == 0.30
+
+
+def test_aggregate_rename_joins_groups(tmp_path):
+    """aggregate_results --rename ortho_scale=ortho_weight merges the
+    runtime-λ group into the baked-λ group of the same value."""
+    from aggregate_results import aggregate, collect_runs
+
+    study = "fake_proto"
+    d = tmp_path / f"{study}_seed=333_ortho_weight=0.01"
+    d.mkdir(parents=True)
+    (d / "metrics.jsonl").write_text(
+        json.dumps({"test/maphashing_level0": 0.30}) + "\n")
+    _write_run(tmp_path, study, 0.01, 334, 0.32, 0.1)
+    runs = collect_runs(str(tmp_path), study)
+    groups = aggregate(runs, "test/maphashing_level0",
+                       renames={"ortho_scale": "ortho_weight"})
+    assert list(groups) == [f"{study}_ortho_weight=0.01"]
+    mean, _std, n = groups[f"{study}_ortho_weight=0.01"]
+    assert n == 2 and abs(mean - 0.31) < 1e-9
