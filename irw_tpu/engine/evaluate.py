@@ -82,6 +82,20 @@ def compute_embeddings(
     return embeddings, dataset.labels
 
 
+def _looks_multilabel(labels: np.ndarray) -> bool:
+    """Heuristic for 2-D label matrices with no explicit ``multi_label``
+    flag: float dtype (VOC's 20-dim float targets) OR binary {0,1} values
+    of any dtype are multi-label indicator vectors (dot-product relevance,
+    accuracy_calculator.py:31-37); anything else is a multi-level class-id
+    hierarchy (per-column equality).  Without the binary check, int8/bool
+    0/1 matrices would be scored per-level where two images sharing the
+    ABSENCE of a class (0 == 0) count as relevant."""
+    if labels.dtype.kind == "f":
+        return True
+    u = np.unique(labels)
+    return u.size <= 2 and bool(np.isin(u, (0, 1)).all())
+
+
 def _metric_suite(query_emb, query_labels, gallery_emb, gallery_labels, cfg):
     """Run the metric suite per label level (GlobalEmbeddingSpaceTester's
     label_hierarchy support, evaluate.py:14-23)."""
@@ -92,7 +106,7 @@ def _metric_suite(query_emb, query_labels, gallery_emb, gallery_labels, cfg):
 
     ql = np.asarray(query_labels)
     gl = np.asarray(gallery_labels)
-    multi_level = ql.ndim == 2 and not cfg.get("multi_label", ql.dtype.kind == "f")
+    multi_level = ql.ndim == 2 and not cfg.get("multi_label", _looks_multilabel(ql))
     levels = ql.shape[1] if multi_level else 1
 
     # with >1 device, shard the gallery axis of the ranking over the mesh —
@@ -164,10 +178,13 @@ def evaluate(
             apply_fn, variables, datasets["query"], host_transform, device_transform,
             batch_size, num_workers,
         )
-        g_emb, g_labels = compute_embeddings(
-            apply_fn, variables, datasets["gallery"], host_transform, device_transform,
-            batch_size, num_workers,
-        )
+        if datasets["gallery"] is datasets["query"]:
+            g_emb, g_labels = q_emb, q_labels
+        else:
+            g_emb, g_labels = compute_embeddings(
+                apply_fn, variables, datasets["gallery"], host_transform,
+                device_transform, batch_size, num_workers,
+            )
         if "distractor" in datasets:
             # distractor augmentation (evaluate.py:101-135): extra gallery
             # items with labels that never match any query
@@ -179,8 +196,15 @@ def evaluate(
             gl = np.asarray(g_labels)
             if gl.ndim == 1:
                 d_labels = np.full(d_emb.shape[0], -424242, gl.dtype)
-            else:
+            elif cfg.get("multi_label", _looks_multilabel(gl)):
+                # all-zero indicator rows: dot-product relevance is 0 vs
+                # every query
                 d_labels = np.zeros((d_emb.shape[0], gl.shape[1]), gl.dtype)
+            else:
+                # multi-LEVEL class ids: zero would equal class 0 at every
+                # level — use an impossible id per level instead
+                d_labels = np.full((d_emb.shape[0], gl.shape[1]), -424242,
+                                   gl.dtype)
             g_labels = np.concatenate([gl, d_labels], axis=0)
         # revisited Oxford/Paris: the query dataset carries per-query gnd →
         # medium/hard junk-corrected mAP (landmark_evaluation.py protocol)
@@ -189,7 +213,11 @@ def evaluate(
             from irw_tpu.engine.landmark import landmark_evaluation
 
             return landmark_evaluation(np.asarray(q_emb), np.asarray(g_emb), gnd)
-        cfg["same_source"] = False
+        # the distractor protocol without a query/gallery split wraps ONE
+        # dataset as both (getter.py): the reference's ('test', ['test',
+        # 'distractor']) split then runs same-source with drop-self —
+        # without this, every query retrieves itself at rank 1
+        cfg["same_source"] = datasets["query"] is datasets["gallery"]
         return _metric_suite(q_emb, q_labels, g_emb, g_labels, cfg)
 
     emb, labels = compute_embeddings(

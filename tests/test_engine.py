@@ -778,3 +778,80 @@ def test_runtime_ortho_scale_scales_penalty():
     np.testing.assert_allclose(
         out[10.0]["total_loss"] - out[0.0]["total_loss"],
         out[10.0]["ortho_loss"], rtol=1e-4, atol=1e-6)
+
+
+def test_evaluate_self_gallery_distractor_drops_self(tiny_setup):
+    """The distractor protocol without a query/gallery split (getter wraps
+    ONE dataset as both): the reference's ('test', ['test','distractor'])
+    split runs same-source with drop-self — precision@1 must NOT be the
+    trivial 1.0 of every query retrieving itself."""
+    dataset, host_t, device_t, model, _ = tiny_setup
+    from irw_tpu.engine.evaluate import evaluate
+
+    test = SyntheticDataset(num_samples=16, num_classes=4, image_size=32,
+                            seed=31)
+    distractor = SyntheticDataset(num_samples=8, num_classes=4,
+                                  image_size=32, seed=32)
+    batch = _make_batch(dataset, host_t, np.arange(8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, device_t(batch["image"]),
+        train=True,
+    )
+
+    def apply_eval(v, inp):
+        return model.apply(v, inp, train=False)
+
+    same = evaluate(apply_eval, variables,
+                    {"query": test, "gallery": test, "distractor": distractor},
+                    host_t, device_t, batch_size=8, num_workers=0,
+                    distance_metric="cosine")
+    baseline = evaluate(apply_eval, variables, test, host_t, device_t,
+                        batch_size=8, num_workers=0,
+                        distance_metric="cosine")
+    # identical up to the distractor's (metric-lowering) extra gallery rows;
+    # in particular NOT self-inflated above the plain same-source eval
+    assert same["precision_at_1_level0"] <= baseline["precision_at_1_level0"] + 1e-6
+    assert same["map_level0"] <= baseline["map_level0"] + 1e-6
+
+
+def test_binary_int_labels_are_multilabel():
+    """2-D int/bool 0/1 label matrices use dot-product relevance, not
+    per-level equality (where sharing the ABSENCE of a class counts)."""
+    from irw_tpu.engine.evaluate import _looks_multilabel, _metric_suite
+
+    rng_l = np.random.RandomState(0)
+    labels = (rng_l.rand(12, 5) > 0.6).astype(np.int8)
+    labels[0] = 0  # ensure one all-zero row stays harmless
+    assert _looks_multilabel(labels)
+    assert _looks_multilabel(labels.astype(bool))
+    assert _looks_multilabel(labels.astype(np.float32))
+    assert not _looks_multilabel(np.array([[0, 1], [2, 1]]))  # class ids
+
+    emb = jnp.asarray(rng_l.randn(12, 8).astype(np.float32))
+    out = _metric_suite(emb, labels, emb, labels,
+                        {"same_source": True, "distance_metric": "cosine",
+                         "top_k": 6})
+    # one metric set (multi-label), not 5 per-level sets
+    assert "map_level0" in out and "map_level1" not in out
+
+
+def test_fast_eval_subset_skips_singletons():
+    """Reference build_fast_eval_subset only admits classes with >=2
+    members (a singleton is a lone self-retrieval query that every metric
+    mean silently drops)."""
+    from irw_tpu.engine.batch_map import build_fast_eval_subset
+
+    ds = SyntheticDataset(num_samples=33, num_classes=4, image_size=16,
+                          seed=5)
+    # force a singleton class by rewriting labels: class 3 has one sample
+    ds.labels = np.array([i % 3 for i in range(32)] + [3])
+    ds.__dict__.pop("instance_dict", None)  # rebuild cached dict if any
+    sub = build_fast_eval_subset(ds, per_class=4)
+    assert 3 not in set(np.asarray(sub.labels).tolist())
+    # shuffled cap: with max_classes=2 at different seeds the chosen
+    # classes differ (sorted()[:2] would always pick {0, 1})
+    picks = {tuple(sorted(set(np.asarray(build_fast_eval_subset(
+        ds, per_class=2, max_classes=2, seed=s).labels).tolist())))
+        for s in range(6)}
+    assert len(picks) > 1

@@ -192,3 +192,101 @@ def test_map_at_r_le_map(rng):
     out = compute_retrieval_metrics(q, ql, g, gl, metric="cosine", k=50)
     assert out["map_at_r"] <= out["map"] + 1e-6
     assert 0.0 <= out["r_precision"] <= 1.0
+
+
+# --- reference-semantics pins (round-4 metric audit) -------------------------
+
+
+def test_recall_denominator_is_all_queries(rng):
+    """Reference recall_at_k is a plain .mean() over ALL queries
+    (accuracy_calculator.py:50-52) — no lone-query mask, unlike map."""
+    gallery = rng.randn(6, 8).astype(np.float32)
+    g_labels = np.array([0, 0, 1, 1, 2, 3])
+    # two queries of class 0 (relevant exists), one of class 9 (lone)
+    query = np.stack([gallery[0], gallery[2], rng.randn(8).astype(np.float32)])
+    q_labels = np.array([0, 1, 9])
+    res = compute_retrieval_metrics(query, q_labels, gallery, g_labels,
+                                    metric="l2", k=6)
+    # both non-lone queries hit at rank 1 (identical vectors) -> 2 hits / 3
+    assert abs(res["recall_at_1"] - 2.0 / 3.0) < 1e-6
+    # the lone-masked metrics divide by 2
+    assert abs(res["precision_at_1"] - 1.0) < 1e-6
+
+
+def test_maphashing_denominator_is_all_queries(rng):
+    """calculate_maphashing divides by num_query — lone queries contribute
+    0 (accuracy_calculator.py:245); `map` divides by non-lone count."""
+    codes_g = np.sign(rng.randn(8, 16)).astype(np.float32)
+    g_labels = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+    codes_q = np.stack([codes_g[0], codes_g[2],
+                        np.sign(rng.randn(16)).astype(np.float32)])
+    q_labels = np.array([0, 1, 7])  # third query lone
+    res = compute_retrieval_metrics(codes_q, q_labels, codes_g, g_labels,
+                                    metric="hamming", k=8,
+                                    with_hashing_stats=True)
+    assert abs(res["maphashing"] - res["map"] * 2.0 / 3.0) < 1e-6
+
+
+def test_r_precision_torchmetrics_semantics(rng):
+    """R = relevant WITHIN the retrieved list (torchmetrics
+    RetrievalRPrecision as fed by calculate_rpr), not total relevant in the
+    gallery: hits at ranks {1,2} with k=3 and 5 total relevant -> 2/2,
+    not 2/5."""
+    # gallery: 5 relevant (class 0) + 5 irrelevant; craft distances so only
+    # 2 relevant make the top-3
+    q = np.zeros((1, 4), np.float32)
+    q[0, 0] = 1.0
+    gallery = np.zeros((10, 4), np.float32)
+    # relevant items: two near the query, three far
+    gallery[0, 0] = 0.99
+    gallery[1, 0] = 0.98
+    gallery[2:5, 1] = 1.0        # far relevant
+    gallery[5, 0] = 0.985        # irrelevant but close -> rank 2 or 3
+    gallery[6:, 2] = 1.0
+    g_labels = np.array([0, 0, 0, 0, 0, 1, 1, 1, 1, 1])
+    res = compute_retrieval_metrics(q, np.array([0]), gallery, g_labels,
+                                    metric="cosine", k=3)
+    # top-3 = {g0, g5, g1}: rel = [1, 0, 1] -> R=2, hits in top-2 = 1 -> 0.5
+    assert abs(res["r_precision"] - 0.5) < 1e-6
+
+
+def test_k_none_means_full_gallery(rng):
+    """PML AccuracyCalculator(k=None) ranks the whole gallery; None must
+    NOT silently mean max_bin_count."""
+    g_labels = np.array([0, 0, 1, 1, 1, 2, 2, 2, 2, 2])
+    q_labels = np.array([0, 1])
+    assert determine_k(q_labels, g_labels, None, same_source=False) == 10
+    assert determine_k(q_labels, g_labels, None, same_source=True) == 9
+    assert determine_k(q_labels, g_labels, "max_bin_count",
+                       same_source=False) == 5
+
+
+def test_same_source_padded_gallery_no_self_at_full_depth(rng):
+    """Sharded same-source eval: with k == n_valid only n_valid-1 finite
+    entries exist per row (self is -inf); the k cap must subtract the self
+    slot or top_k resurrects the query itself at the tail rank."""
+    from irw_tpu.parallel.eval_sharding import sharded_retrieval_metrics
+
+    emb = rng.randn(10, 8).astype(np.float32)
+    labels = np.array([0, 0, 1, 1, 2, 2, 3, 3, 4, 4])
+    ref = compute_retrieval_metrics(emb, labels, emb, labels,
+                                    metric="cosine", k=None,
+                                    same_source=True)
+    shard = sharded_retrieval_metrics(emb, labels, emb, labels,
+                                      metric="cosine", k=None,
+                                      same_source=True)
+    for key in ("map", "r_precision", "precision_at_1", "recall_at_1"):
+        assert abs(ref[key] - shard[key]) < 1e-5, key
+
+
+def test_pr_curve_full_depth_includes_hard_queries(rng):
+    """The reference's pr_rc curve ranks the FULL gallery, so a query whose
+    last relevant item sits outside the top-k still contributes; recall
+    must reach 1.0 for every non-lone query."""
+    emb = rng.randn(24, 8).astype(np.float32)
+    labels = np.array([0, 0, 0, 1, 1, 1] * 4)
+    res = compute_retrieval_metrics(emb[:6], labels[:6], emb, labels,
+                                    metric="l2", k=3, with_curve=True)
+    assert res["pr_curve"].shape == (24,)
+    # every query's relevant set (count 12 or 11) is inside the full ranking
+    assert abs(float(res["rc_curve"][-1]) - 1.0) < 1e-5
