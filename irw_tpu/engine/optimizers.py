@@ -281,7 +281,12 @@ class OptimizerEntry:
     def group_lrs(self, epoch: int, step: int, val_scale: float = 1.0) -> dict:
         factor = 1.0
         if self.epoch_schedule is not None:
-            factor *= self.epoch_schedule(epoch)
+            # torch on_epoch semantics: scheduler.step() fires AFTER each
+            # epoch (reference train.py:88-89), so epoch E trains at
+            # f(E-1) — epoch 1 at the base LR, CosineAnnealing reaching
+            # eta_min only after the last epoch, MultiStep milestones
+            # dropping the LR the epoch AFTER the milestone
+            factor *= self.epoch_schedule(max(epoch - 1, 0))
         if self.step_schedule is not None:
             factor *= self.step_schedule(step)
         if self.plateau is not None:

@@ -114,7 +114,19 @@ def train(
     exp = dict(config.get("experience", config))
     max_iter = exp.get("max_iter", 50)
     step_per_epoch = exp.get("step_per_epoch", None)
-    eval_freq = exp.get("train_eval_freq", exp.get("eval_freq", 5))
+    # per-split eval cadence (reference train.py:94-101): each split has its
+    # own freq; -1 disables that split entirely (even at max_iter)
+    default_eval_freq = exp.get("train_eval_freq", exp.get("eval_freq", 5))
+
+    def _split_eval_freq(split: str):
+        return exp.get(f"{split}_eval_freq", default_eval_freq)
+
+    def _should_eval(freq, epoch) -> bool:
+        try:
+            freq = int(freq)
+        except (TypeError, ValueError):
+            return False
+        return freq > 0 and (epoch % freq == 0 or epoch == max_iter)
     eval_bs = exp.get("eval_bs", 256)
     principal_metric = exp.get("principal_metric", "map_level0")
     eval_split = exp.get("eval_split", "test")
@@ -311,15 +323,28 @@ def train(
 
     for epoch in range(start_epoch + 1, max_iter + 1):
         t0 = time.time()
-        state = _apply_loss_epoch_updates(losses, state)
+        # reference hook timing (base_update.py:409-414): crit.epoch_step()
+        # and net.epoch_step(e) fire at the END of epoch e, so epoch E runs
+        # with E-1 accumulated schedule steps and α = f(E-1) (epoch 1 runs
+        # the init values: QuantizationLoss weight 0, tanh α = 1.0).
+        # Applying the update at the START of every epoch EXCEPT the first
+        # is the same sequence, but survives checkpoint-resume (the saved
+        # loss_states already carry their end-of-epoch updates).
+        if epoch > 1:
+            state = _apply_loss_epoch_updates(losses, state)
         state = state.replace(
             epoch=jnp.int32(epoch),
-            model_alpha=jnp.float32(_alpha_schedule(epoch, exp)),
+            model_alpha=jnp.float32(_alpha_schedule(epoch - 1, exp)),
         )
 
         sampler.reshuffle(epoch)
         batches = sampler.batches
         if step_per_epoch:
+            # exactly N batches.  Deliberate divergence: the reference's
+            # `if i > step_per_epoch: break` (base_update.py:344-345)
+            # processes indices 0..N inclusive = N+1 batches — an
+            # off-by-one artifact, not replicated (like the ll_only
+            # NameError and the maphashing dead accumulator)
             batches = batches[:step_per_epoch]
         loader = EpochLoader(
             train_dataset,
@@ -330,7 +355,9 @@ def train(
             seed=exp.get("seed", 0) + epoch,
         )
 
-        xbm_on = xbm is not None and epoch > xbm_activate_after
+        # reference gate is INCLUSIVE: `epoch >= config.memory.activate_after`
+        # (base_update.py:77,89,96); inserts happen every epoch regardless
+        xbm_on = xbm is not None and epoch >= xbm_activate_after
         if xbm_on not in jitted:
             jitted[xbm_on] = make_step(xbm_on)
         step_fn = jitted[xbm_on]
@@ -400,23 +427,34 @@ def train(
             instrumentor.maybe_dump(epoch, eval_variables(state), device_transform)
 
         score = None
-        if eval_freq and (epoch % eval_freq == 0 or epoch == max_iter):
-            for split, datasets in eval_datasets.items():
-                results = run_eval(state, datasets)
-                metrics_by_split[split] = results
-                logger.log(epoch, results, prefix=f"{split}/")
-                LOGGER.info(f"  eval[{split}]: " + ", ".join(
-                    f"{k}={v:.4f}" for k, v in sorted(results.items())
-                    if isinstance(v, float) and "recall" not in k
-                ))
-            score = metrics_by_split.get(eval_split, {}).get(principal_metric)
-            if score is not None:
-                for entry in optimizer_entries:
-                    if entry.plateau is not None:
-                        entry.plateau.update(score)
-                if score > best_score:
-                    best_score = score
-        elif fast_subset is not None:
+        evaluated = []
+        for split, datasets in eval_datasets.items():
+            if not _should_eval(_split_eval_freq(split), epoch):
+                continue
+            results = run_eval(state, datasets)
+            metrics_by_split[split] = results
+            evaluated.append(split)
+            logger.log(epoch, results, prefix=f"{split}/")
+            LOGGER.info(f"  eval[{split}]: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in sorted(results.items())
+                if isinstance(v, float) and "recall" not in k
+            ))
+        if eval_split in evaluated:
+            split_metrics = metrics_by_split.get(eval_split, {})
+            score = split_metrics.get(principal_metric)
+            for entry in optimizer_entries:
+                if entry.plateau is not None:
+                    # each plateau scheduler tracks ITS configured key
+                    # (reference train.py:179-180 sch.step(metrics[split][key]))
+                    tracked = split_metrics.get(
+                        getattr(entry.plateau, "key", None) or principal_metric,
+                        score,
+                    )
+                    if tracked is not None:
+                        entry.plateau.update(tracked)
+            if score is not None and score > best_score:
+                best_score = score
+        if not evaluated and fast_subset is not None:
             results = run_eval(state, fast_subset)
             logger.log(epoch, results, prefix="fast_eval/")
 

@@ -194,6 +194,17 @@ def build_train_step(
 
     use_xbm = xbm is not None and xbm_active  # static: engine rebuilds the
     # step once when the memory activates (activate_after)
+    if use_xbm and not any(
+        l.kind == LossKind.SCORES or getattr(l, "accepts_refs", False)
+        for l, _ in losses
+    ):
+        from irw_tpu.utils import LOGGER
+
+        LOGGER.warning(
+            "XBM memory is configured but no loss consumes it "
+            f"({[type(l).__name__ for l, _ in losses]} are neither "
+            "score-based nor ref-aware) — the memory term is inert"
+        )
 
     def compute_losses(output, aux, labels, xbm_state, loss_params, loss_states,
                        ortho_scale=None):
@@ -230,10 +241,14 @@ def build_train_step(
                 logits = output if not is_branches else output[-1]
                 ctx = dataclasses.replace(ctx_base, embeddings=logits)
             elif loss.kind == LossKind.SCORES:
-                e = _l2n(emb)
+                # RAW dot products like the reference (base_update.py:93
+                # scores = torch.mm(di, di.t())) — nets that L2-normalize
+                # their output (RetrievalNet) yield cosine automatically;
+                # normalizing here would silently rescale the similarity
+                # space for non-normalized (hashing) outputs
                 ctx = dataclasses.replace(
                     ctx_base,
-                    scores=e @ e.T,
+                    scores=emb @ emb.T,
                     label_matrix=create_label_matrix(labels),
                     embeddings=emb,
                 )
@@ -252,13 +267,21 @@ def build_train_step(
             new_states[key] = new_state
 
             # --- memory term (base_update.py:88-97, 106-113): separate loss
-            # vs the XBM contents, scaled by weight * memory.weight ---
-            if ref_emb is not None and loss.kind in (LossKind.SCORES,
-                                                     LossKind.EMBEDDINGS):
+            # vs the XBM contents, scaled by weight * memory.weight.
+            # EMBEDDINGS kind: only for ref-aware losses (accepts_refs) —
+            # for the rest a "memory" call would ignore ref_embeddings and
+            # exactly duplicate the batch term, silently rescaling the loss
+            # by (1 + weight·xbm.weight); the reference would TypeError on
+            # the extra positional args instead ---
+            mem_kinds = ((LossKind.SCORES, LossKind.EMBEDDINGS)
+                         if getattr(loss, "accepts_refs", False)
+                         else (LossKind.SCORES,))
+            if ref_emb is not None and loss.kind in mem_kinds:
                 if loss.kind == LossKind.SCORES:
-                    mem_scores = _l2n(emb) @ _l2n(ref_emb).T
-                    # push invalid slots out of ranking range (cosine ∈ [-1,1])
-                    mem_scores = jnp.where(mem_valid[None, :], mem_scores, -4.0)
+                    mem_scores = emb @ ref_emb.T  # raw, base_update.py:78
+                    # push invalid slots far below any real score
+                    mem_scores = jnp.where(mem_valid[None, :], mem_scores,
+                                           -1e9)
                     mctx = dataclasses.replace(
                         ctx_base,
                         scores=mem_scores,
@@ -353,10 +376,26 @@ def build_train_step(
             per_loss = [vjp_fn(jax.nn.one_hot(i, n_vec)) for i in range(n_vec)]
 
             def head_norm(g):
+                # resolve the head scope at trace time: the reference used
+                # net.fc.parameters() which always exists (base_update.py:
+                # 118) — if the configured key matches nothing, fall back
+                # through common head names rather than silently degrading
+                # every weight to 1.0 (sqrt(eps)/sqrt(eps))
+                names = ["/".join(str(getattr(p, "key", p)) for p in path)
+                         for path, _ in jax.tree_util.tree_leaves_with_path(g)]
+                key = adaptive_head_key
+                if not any(key in n for n in names):
+                    for cand in ("HashHead", "hash_fc", "fc", "head",
+                                 "projection"):
+                        if any(cand in n for n in names):
+                            key = cand
+                            break
+                    else:
+                        key = ""  # match everything: global grad norm
                 leaves = []
                 for path, leaf in jax.tree_util.tree_leaves_with_path(g):
                     name = "/".join(str(getattr(p, "key", p)) for p in path)
-                    if adaptive_head_key in name:
+                    if key in name:
                         leaves.append(jnp.sum(leaf**2))
                 return jnp.sqrt(sum(leaves) + 1e-12)
 

@@ -33,6 +33,12 @@ class LossContext:
 
 class LossBase:
     kind: LossKind = LossKind.EMBEDDINGS
+    # XBM-aware: the loss reads ctx.ref_embeddings/ref_labels (the
+    # reference's 4-positional-arg forward, pair_loss.py:46-50).  The
+    # engine only builds an EMBEDDINGS-kind memory term for these — for
+    # every other loss a "memory" call would just recompute the batch term
+    # (the reference would TypeError on the extra args instead).
+    accepts_refs: bool = False
 
     def init_params(self, rng) -> dict:
         """Trainable leaves (optimised by the loss optimizer)."""

@@ -40,6 +40,8 @@ class CalibrationLoss(LossBase):
     absolute margins (calibration_loss.py:7-106; PML ContrastiveLoss with
     DotProductSimilarity and AvgNonZero reduction)."""
 
+    accepts_refs = True  # XBM memory combination, calibration_loss.py:57-80
+
     kind = LossKind.EMBEDDINGS
 
     def __init__(self, pos_margin: float = 0.9, neg_margin: float = 0.6, **kw):
@@ -62,6 +64,8 @@ class PairLoss(LossBase):
     """XBM-paper contrastive (pair_loss.py:12-53): per-anchor sum of
     (1 − s) over positives with s < 1−ε plus s over negatives with
     s > margin, averaged over anchors."""
+
+    accepts_refs = True  # ref-embedding aware, pair_loss.py:46-50
 
     kind = LossKind.EMBEDDINGS
 

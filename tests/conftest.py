@@ -8,7 +8,15 @@ exercised on every run.  Must set the env vars before jax imports.
 import os
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # XLA:CPU collectives have hard 20s-warn/40s-terminate rendezvous
+    # timeouts sized for real multi-core hosts; on this 1-core VM the 8
+    # "devices" execute serially, so heavy per-device programs (rank-AP
+    # over an XBM memory) stagger past 40s and the process ABORTS.
+    # Raise both — correctness tests care about equivalence, not latency.
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
 

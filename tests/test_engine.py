@@ -855,3 +855,167 @@ def test_fast_eval_subset_skips_singletons():
         ds, per_class=2, max_classes=2, seed=s).labels).tolist())))
         for s in range(6)}
     assert len(picks) > 1
+
+
+def test_xbm_memory_term_skipped_for_non_ref_aware_losses(tiny_setup):
+    """An EMBEDDINGS loss that never reads ctx.ref_embeddings (HashLoss)
+    must NOT get a memory term — it would exactly duplicate the batch term
+    and silently rescale the loss by (1 + weight·xbm.weight).  The
+    reference would TypeError on the extra positional args instead
+    (base_update.py:89 crit(di, labels, memory_embeddings, ...))."""
+    dataset, host_t, device_t, model, losses = tiny_setup  # HashLoss
+    cfg = [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}]
+    xbm = XBM(size=len(dataset), embedding_dim=16, unique=True,
+              activate_after=0, weight=0.5)
+    batch = _make_batch(dataset, host_t, np.arange(8))
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True,
+    )
+    entries = build_optimizers(cfg, variables["params"])
+    loss_tx = optax.adamw(1e-3)
+    state = init_train_state(
+        model, losses, entries, loss_tx, batch, device_transform=device_t,
+        xbm=xbm,
+    )
+    step = jax.jit(build_train_step(
+        model, losses, entries, loss_tx, xbm=xbm, device_transform=device_t,
+        xbm_active=True,
+    ))
+    from irw_tpu.engine.train import _build_hyper
+
+    state, metrics = step(state, batch, _build_hyper(entries, 1, 0, 0, None))
+    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+    assert "loss_0_HashLoss" in m
+    assert not any("memory" in k for k in m), sorted(m)
+    assert abs(m["total_loss"] - (m["loss_0_HashLoss"] + m["ortho_loss"])) < 1e-5
+
+
+def test_scores_losses_get_raw_dot_products():
+    """SCORES losses see torch.mm(di, di.t()) semantics (base_update.py:93)
+    — raw dot products, NOT silently L2-normalized cosine."""
+    import flax.linen as nn
+
+    from irw_tpu.losses.base import LossBase, LossKind
+
+    class SpyScores(LossBase):
+        kind = LossKind.SCORES
+
+        def init_params(self, rng):
+            return {}
+
+        def init_state(self):
+            return {}
+
+        def __call__(self, ctx, params, state):
+            # the loss VALUE is the max score — readable from the metrics
+            return jnp.max(ctx.scores), state
+
+    class Scale2(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            # output with norm 2: raw self-dot = 4 on the diagonal
+            w = self.param("w", nn.initializers.ones, (1,))
+            e = x.reshape(x.shape[0], -1)[:, :8]
+            e = e / jnp.linalg.norm(e, axis=1, keepdims=True) * 2.0
+            return e * w, {"ortho_loss": jnp.float32(0.0)}
+
+    model = Scale2()
+    losses = [(SpyScores(), 1.0)]
+    batch = {"image": np.random.RandomState(0).rand(4, 4, 4, 3).astype(np.float32),
+             "label": np.array([0, 0, 1, 1]), "index": np.arange(4)}
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["image"]))
+    entries = build_optimizers(
+        [{"name": "SGD", "params": None, "kwargs": {"lr": 0.0}}],
+        variables["params"])
+    state = init_train_state(model, losses, entries, optax.sgd(0.0), batch)
+    step = build_train_step(model, losses, entries, optax.sgd(0.0))
+    from irw_tpu.engine.train import _build_hyper
+
+    _, metrics = step(state, batch, _build_hyper(entries, 1, 0, 0, None))
+    # norm-2 embeddings: raw diagonal dot = 4; cosine would cap at 1
+    assert float(jax.device_get(metrics["loss_0_SpyScores"])) > 3.5
+
+
+def test_epoch_schedules_match_torch_step_after_epoch(tiny_setup, tmp_path):
+    """Reference timing: on_epoch scheduler.step(), crit.epoch_step() and
+    net.epoch_step(e) all fire AFTER epoch e — so epoch 1 trains at the
+    base LR, with QuantizationLoss weight 0 and tanh α=1."""
+    dataset, host_t, device_t, model, _ = tiny_setup
+    from irw_tpu.engine.train import train
+
+    losses = build_losses([
+        {"name": "HashLoss", "weight": 1.0,
+         "kwargs": {"num_classes": 4, "embedding_size": 16}},
+        {"name": "QuantizationLoss", "weight": 1.0,
+         "kwargs": {"step_type": "linear", "steps": 4}},
+    ])
+    cfg_opt = [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3},
+                "scheduler_on_epoch": {"name": "CosineAnnealingLR",
+                                       "kwargs": {"T_max": 4, "eta_min": 0.0}}}]
+    sampler = RandomSampler(dataset, batch_size=16, seed=0)
+    batch = _make_batch(dataset, host_t, np.arange(16))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, device_t(batch["image"]),
+        train=True,
+    )
+    entries = build_optimizers(cfg_opt, variables["params"])
+    loss_tx = optax.adamw(1e-3)
+    state = init_train_state(model, losses, entries, loss_tx, batch,
+                             device_transform=device_t)
+    config = {"experience": {"max_iter": 1, "train_eval_freq": -1,
+                             "eval_bs": 32, "num_workers": 0, "seed": 0,
+                             "distance_metric": "hamming"}}
+    state, metrics = train(
+        model, state, losses, entries, loss_tx, dataset, sampler,
+        {"test": dataset}, host_t, device_t, config, str(tmp_path),
+    )
+    # train_eval_freq=-1 disables eval entirely (even at max_iter)
+    assert metrics == {}
+    # epoch 1 ran at the base LR (cos factor f(0) = 1)
+    lrs = entries[0].group_lrs(1, 0)
+    assert abs(next(iter(lrs.values())) - 1e-3) < 1e-9
+    # α = f(epoch-1) = f(0) = 1.0 during epoch 1
+    assert float(jax.device_get(state.model_alpha)) == 1.0
+    # QuantizationLoss trained epoch 1 at weight 0 (linear warm start)
+    import json as _json
+
+    with open(os.path.join(str(tmp_path), "metrics.jsonl")) as f:
+        logged = [_json.loads(line) for line in f]
+    qkeys = [k for k in logged[0] if "QuantizationLoss" in k]
+    assert qkeys and all(rec[qkeys[0]] == 0.0 for rec in logged)
+
+
+def test_per_split_eval_freqs(tiny_setup, tmp_path):
+    """train/val/test eval cadences are independent; -1 disables a split
+    (reference train.py:94-101)."""
+    dataset, host_t, device_t, model, losses = tiny_setup
+    from irw_tpu.engine.train import train
+
+    cfg_opt = [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}]
+    sampler = RandomSampler(dataset, batch_size=16, seed=0)
+    batch = _make_batch(dataset, host_t, np.arange(16))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, device_t(batch["image"]),
+        train=True,
+    )
+    entries = build_optimizers(cfg_opt, variables["params"])
+    loss_tx = optax.adamw(1e-3)
+    state = init_train_state(model, losses, entries, loss_tx, batch,
+                             device_transform=device_t)
+    eval_ds = SyntheticDataset(num_samples=32, num_classes=4, image_size=32,
+                               seed=7)
+    config = {"experience": {
+        "max_iter": 2, "train_eval_freq": -1, "test_eval_freq": 1,
+        "eval_bs": 32, "num_workers": 0, "seed": 0,
+        "distance_metric": "hamming", "eval_split": "test",
+    }}
+    state, metrics = train(
+        model, state, losses, entries, loss_tx, dataset, sampler,
+        {"train": dataset, "test": eval_ds}, host_t, device_t, config,
+        str(tmp_path),
+    )
+    assert "test" in metrics and "train" not in metrics
