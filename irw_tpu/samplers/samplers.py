@@ -1,12 +1,21 @@
 """Epoch-static batch samplers.
 
-Reference: m_per_class_sampler.py:16 (fixed samples-per-class batches from
-``dataset.instance_dict``), hierarchical_sampler.py:16 (batches drawn per
-super-label pair), random_sampler.py:7 (shuffled fixed-size batches,
-remainder dropped).
+Reference: m_per_class_sampler.py:16 (class-depleting samples-per-class
+batches from ``dataset.instance_dict``), hierarchical_sampler.py:16
+(batches drawn per super-label combination), random_sampler.py:7 (shuffled
+fixed-size batches, remainder dropped).
+
+Each ``reshuffle(epoch)`` replays the reference's exact sequence of RNG
+calls against a ``np.random.RandomState(seed + epoch)`` — so batch
+construction is bit-identical to the reference given the same underlying
+state (pinned by tests/test_reference_parity.py), while staying
+deterministic per (seed, epoch) instead of depending on ambient
+``np.random`` global state (the JAX-side determinism convention).
 """
 
 from __future__ import annotations
+
+import itertools
 
 import numpy as np
 
@@ -43,42 +52,75 @@ class RandomSampler(SamplerBase):
 
 
 class MPerClassSampler(SamplerBase):
-    """m_per_class_sampler.py:16-73: each batch holds ``samples_per_class``
-    instances of batch_size/samples_per_class distinct classes; instances
-    resampled with replacement when a class is too small."""
+    """m_per_class_sampler.py:16-75: class-DEPLETING batches.
 
-    def __init__(self, dataset, batch_size: int, samples_per_class: int = 4, seed: int = 0, **kw):
+    Every class's instance pool is shuffled once per epoch; each sweep over
+    the (shuffled) class order takes ``samples_per_class`` instances from
+    the first ``batch_size/samples_per_class`` classes that still hold at
+    least that many, flushing one batch per sweep, until a sweep cannot
+    fill a batch.  So a class with 40 instances feeds up to 10 batches per
+    epoch at samples_per_class=4 (cifar10 at batch 40/spc 8 yields ~1250
+    batches/epoch, not one batch per class visit), and classes smaller
+    than ``samples_per_class`` are never drawn (no replacement).
+    """
+
+    def __init__(self, dataset, batch_size: int, samples_per_class: int = 4,
+                 seed: int = 0, **kw):
         super().__init__(dataset, batch_size, seed)
+        assert samples_per_class > 1, samples_per_class
         assert batch_size % samples_per_class == 0, (batch_size, samples_per_class)
-        self.samples_per_class = samples_per_class
+        self.samples_per_class = int(samples_per_class)
 
     def reshuffle(self, epoch: int = 0):
         rng = np.random.RandomState(self.seed + epoch)
-        instance_dict = self.dataset.instance_dict
-        classes = list(instance_dict.keys())
-        rng.shuffle(classes)
-        classes_per_batch = self.batch_size // self.samples_per_class
+        spc = self.samples_per_class
+        classes_per_batch = self.batch_size // spc
 
-        # one pass over all classes per epoch, grouped into batches
-        batches = []
-        for start in range(0, len(classes) - classes_per_batch + 1, classes_per_batch):
-            batch = []
-            for cls in classes[start : start + classes_per_batch]:
-                idxs = np.asarray(instance_dict[cls])
-                if len(idxs) >= self.samples_per_class:
-                    batch.extend(rng.choice(idxs, self.samples_per_class, replace=False))
-                else:
-                    batch.extend(rng.choice(idxs, self.samples_per_class, replace=True))
-            batches.append(np.asarray(batch))
-        self.batches = batches
+        # same rng call order as the reference: shuffle each class pool in
+        # dict insertion order, then the class order, then within each
+        # flushed batch, then the batch list
+        pools: dict = {}
+        for cls, idxs in self.dataset.instance_dict.items():
+            pool = list(idxs)
+            rng.shuffle(pool)
+            pools[cls] = pool
+        classes = list(pools)
+        rng.shuffle(classes)
+
+        batches: list[list[int]] = []
+        groups: list[list[int]] = []
+        while True:
+            for cls in classes:
+                if len(pools[cls]) >= spc and len(groups) < classes_per_batch:
+                    groups.append(pools[cls][:spc])
+                    pools[cls] = pools[cls][spc:]
+            if len(groups) != classes_per_batch:
+                break
+            flat = [i for grp in groups for i in grp]
+            rng.shuffle(flat)
+            batches.append(flat)
+            groups = []
+
+        rng.shuffle(batches)
+        self.batches = [np.asarray(b) for b in batches]
         return self
 
 
 class HierarchicalSampler(SamplerBase):
-    """hierarchical_sampler.py:16-92: batches drawn within pairs of
-    super-labels; ``batches_per_super_pair`` batches for each sampled pair,
-    each batch split evenly between the two supers with
-    ``samples_per_class`` per class."""
+    """hierarchical_sampler.py:16-95: ``batches_per_super_pair`` batches for
+    every ``nb_categories``-sized combination of super-labels, each batch
+    split evenly between the supers; ``samples_per_class`` instances per
+    class (with replacement iff the class is smaller), or ALL instances of
+    a class when ``samples_per_class=0``; classes that would overflow the
+    per-super quota are skipped (the reference's ``continue`` fill).
+
+    Deliberate TPU divergence: under-filled batches (possible when a super
+    runs out of classes) are dropped with a logged count — the jitted train
+    step needs static batch shapes; the reference's ragged batches would
+    trigger one XLA recompile per unique size.  Construction order uses
+    ``sorted(set(super_labels))`` (the reference iterates ``set(...)``,
+    which for its small-int supers is the same ascending order).
+    """
 
     def __init__(
         self,
@@ -88,43 +130,65 @@ class HierarchicalSampler(SamplerBase):
         batches_per_super_pair: int = 10,
         nb_categories: int = 2,
         seed: int = 0,
+        drop_incomplete: bool = True,
         **kw,
     ):
         super().__init__(dataset, batch_size, seed)
-        self.samples_per_class = samples_per_class
-        self.batches_per_super_pair = batches_per_super_pair
-        self.nb_categories = nb_categories
+        self.batches_per_super_pair = int(batches_per_super_pair)
+        self.nb_categories = int(nb_categories)
+        assert self.batch_size % self.nb_categories == 0, (
+            f"batch_size should be a multiple of {self.nb_categories}")
+        self.sub_batch_len = self.batch_size // self.nb_categories
+        samples_per_class = int(samples_per_class)
+        if samples_per_class > 0:
+            assert self.sub_batch_len % samples_per_class == 0, (
+                "batch_size not a multiple of samples_per_class")
+            self.samples_per_class: int | None = samples_per_class
+        else:
+            self.samples_per_class = None  # all instances of each class
+        self.drop_incomplete = drop_incomplete
+        supers = sorted(set(np.asarray(dataset.super_labels).tolist()))
+        if len(supers) < self.nb_categories:
+            raise ValueError("not enough super-labels for hierarchical sampling")
+        self.super_pairs = list(itertools.combinations(supers, self.nb_categories))
 
     def reshuffle(self, epoch: int = 0):
         rng = np.random.RandomState(self.seed + epoch)
         super_dict = self.dataset.super_dict  # super → {class → indices}
-        supers = list(super_dict.keys())
-        if len(supers) < self.nb_categories:
-            raise ValueError("not enough super-labels for hierarchical sampling")
-        per_super = self.batch_size // self.nb_categories
 
-        batches = []
-        pairs = []
-        for i in range(len(supers)):
-            for j in range(i + 1, len(supers)):
-                pairs.append((supers[i], supers[j]))
-        rng.shuffle(pairs)
-        for pair in pairs:
+        batches: list[list[int]] = []
+        for combo in self.super_pairs:
             for _ in range(self.batches_per_super_pair):
-                batch = []
-                for sup in pair:
+                batch: list[int] = []
+                for sup in combo:
+                    sub_batch: list[int] = []
                     class_dict = super_dict[sup]
-                    classes = list(class_dict.keys())
-                    rng.shuffle(classes)
-                    needed = per_super // self.samples_per_class
-                    for cls in classes[:needed]:
-                        idxs = np.asarray(class_dict[cls])
-                        replace = len(idxs) < self.samples_per_class
-                        batch.extend(rng.choice(idxs, self.samples_per_class, replace=replace))
-                if len(batch) == self.batch_size:
-                    batches.append(np.asarray(batch))
+                    all_classes = list(class_dict)
+                    rng.shuffle(all_classes)
+                    for cls in all_classes:
+                        instances = np.asarray(class_dict[cls])
+                        k = self.samples_per_class or len(instances)
+                        if len(sub_batch) + k > self.sub_batch_len:
+                            continue
+                        sub_batch.extend(
+                            rng.choice(instances, size=k,
+                                       replace=len(instances) < k).tolist())
+                    batch.extend(sub_batch)
+                rng.shuffle(batch)
+                batches.append(batch)
         rng.shuffle(batches)
-        self.batches = batches
+
+        if self.drop_incomplete:
+            full = [b for b in batches if len(b) == self.batch_size]
+            if len(full) != len(batches):
+                from irw_tpu.utils import LOGGER
+
+                LOGGER.warning(
+                    f"HierarchicalSampler dropped {len(batches) - len(full)} "
+                    f"under-filled batches (static-shape jit; the reference "
+                    f"keeps ragged batches)")
+            batches = full
+        self.batches = [np.asarray(b) for b in batches]
         return self
 
 

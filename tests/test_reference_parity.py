@@ -402,3 +402,138 @@ def test_lifting_family_matches_reference(reference_family_modules, ref_name,
     np.testing.assert_allclose(np.asarray(lh), ref_lh.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(hl), ref_hl.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(hh), ref_hh.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Samplers: bit-exact batch construction vs the actual reference modules
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def reference_samplers():
+    """Load the REAL reference sampler classes (no code copied)."""
+    torch = pytest.importorskip("torch")  # noqa: F841 — BatchSampler import
+    # main.utils pulls omegaconf (absent from image) — stub what it needs
+    om = types.ModuleType("omegaconf")
+    lc = types.ModuleType("omegaconf.listconfig")
+
+    class ListConfig(list):
+        pass
+
+    lc.ListConfig = ListConfig
+    om.listconfig = lc
+    sys.modules.setdefault("omegaconf", om)
+    sys.modules.setdefault("omegaconf.listconfig", lc)
+    sys.path.insert(0, "/root/reference")
+    try:
+        mods = {}
+        for name in ("m_per_class_sampler", "hierarchical_sampler"):
+            spec = importlib.util.spec_from_file_location(
+                f"ref_{name}", f"/root/reference/main/samplers/{name}.py"
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            mods[name] = mod
+    finally:
+        sys.path.remove("/root/reference")
+    return mods
+
+
+class _FakeHierDS:
+    """instance_dict / super_dict / super_labels shaped like BaseDataset."""
+
+    def __init__(self, rng, n_supers=3, classes_per_super=5, spread=(3, 11)):
+        self.instance_dict = {}
+        self.super_dict = {}
+        self.super_labels = []
+        idx = 0
+        cls = 0
+        for s in range(n_supers):
+            self.super_dict[s] = {}
+            for _ in range(classes_per_super):
+                n = int(rng.randint(*spread))
+                members = list(range(idx, idx + n))
+                self.instance_dict[cls] = members
+                self.super_dict[s][cls] = members
+                self.super_labels.extend([s] * n)
+                idx += n
+                cls += 1
+        self.length = idx
+
+    def __len__(self):
+        return self.length
+
+
+def test_m_per_class_sampler_bit_exact(reference_samplers, rng):
+    from irw_tpu.samplers import MPerClassSampler
+
+    ds = _FakeHierDS(rng, n_supers=2, classes_per_super=6, spread=(5, 21))
+    ref_cls = reference_samplers["m_per_class_sampler"].MPerClassSampler
+    ref = ref_cls(ds, batch_size=12, samples_per_class=4)  # init reshuffles
+    np.random.seed(777)
+    ref.reshuffle()
+
+    ours = MPerClassSampler(ds, batch_size=12, samples_per_class=4, seed=777)
+    ours.reshuffle(0)
+
+    assert len(ours.batches) == len(ref.batches) > 3
+    for a, b in zip(ours.batches, ref.batches):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_m_per_class_depletes_classes(reference_samplers, rng):
+    """Epoch length comes from DEPLETION: every class feeds
+    floor(len/spc) batch slots per epoch, each index at most once."""
+    from irw_tpu.samplers import MPerClassSampler
+
+    ds = _FakeHierDS(rng, n_supers=1, classes_per_super=4, spread=(16, 17))
+    s = MPerClassSampler(ds, batch_size=8, samples_per_class=4, seed=0)
+    s.reshuffle(0)
+    # 4 classes × 16 instances, 2 classes/batch → 8 full batches
+    assert len(s.batches) == 8
+    flat = np.concatenate(s.batches)
+    assert len(np.unique(flat)) == len(flat) == 64  # no repeats in epoch
+
+
+def test_hierarchical_sampler_bit_exact(reference_samplers, rng):
+    from irw_tpu.samplers import HierarchicalSampler
+
+    ds = _FakeHierDS(rng, n_supers=3, classes_per_super=5, spread=(2, 9))
+    ref_cls = reference_samplers["hierarchical_sampler"].HierarchicalSampler
+    ref = ref_cls(ds, batch_size=12, samples_per_class=2,
+                  batches_per_super_pair=3, nb_categories=2)
+    np.random.seed(424)
+    ref.reshuffle()
+
+    ours = HierarchicalSampler(
+        ds, batch_size=12, samples_per_class=2, batches_per_super_pair=3,
+        nb_categories=2, seed=424, drop_incomplete=False,
+    )
+    ours.reshuffle(0)
+
+    assert len(ours.batches) == len(ref.batches) == 3 * 3  # C(3,2) pairs
+    for a, b in zip(ours.batches, ref.batches):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hierarchical_sampler_all_instances_mode(reference_samplers, rng):
+    """samples_per_class=0 → every instance of each drawn class
+    (hierarchical_sampler.py:44-45, 84)."""
+    from irw_tpu.samplers import HierarchicalSampler
+
+    ds = _FakeHierDS(rng, n_supers=2, classes_per_super=4, spread=(2, 5))
+    ref_cls = reference_samplers["hierarchical_sampler"].HierarchicalSampler
+    ref = ref_cls(ds, batch_size=12, samples_per_class=0,
+                  batches_per_super_pair=2, nb_categories=2)
+    np.random.seed(31)
+    ref.reshuffle()
+
+    ours = HierarchicalSampler(
+        ds, batch_size=12, samples_per_class=0, batches_per_super_pair=2,
+        nb_categories=2, seed=31, drop_incomplete=False,
+    )
+    ours.reshuffle(0)
+
+    assert len(ours.batches) == len(ref.batches)
+    for a, b in zip(ours.batches, ref.batches):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
