@@ -171,12 +171,13 @@ def main():
                           "benchmarks", "train_bench.py"))
         tb = _ilu.module_from_spec(spec)
         spec.loader.exec_module(tb)
-        # batch 48 + selective remat ("dots_no_batch": non-batch matmul
-        # outputs stay resident, backward recomputes only the elementwise
-        # chain) is the measured throughput knee — BASELINE.md round-2 table
+        # batch 48 + FULL block remat ("nothing") is the measured unfrozen
+        # winner — the round-4 save-axis scan found throughput monotone in
+        # how little is saved (BASELINE.md round-4 table); it is also the
+        # engine default (models/factory.py)
         t_batch = 48
         step, t_state, t_batch_data, t_entries = tb.build(
-            t_batch, frozen=False, remat_policy="dots_no_batch")
+            t_batch, frozen=False, remat_policy="nothing")
         dt, _, _ = tb.measure(step, t_state, t_batch_data, t_entries, t_batch,
                               iters=5)
         train_ips = t_batch / dt
@@ -185,10 +186,9 @@ def main():
             "train_ms_per_step_unfrozen": round(dt * 1000, 1),
             "train_mfu_unfrozen": round(3.0 * fwd_flops * train_ips / peak, 4),
         }
-        # first-time measurements of the round-3 attention-probs remat
-        # policies (commit 49c9d7a): also drop the tagged attention
-        # probabilities from the saved set
-        for pol in ("dots_no_batch_attn", "dots_no_batch_gelu_attn"):
+        # continuity with the round-2/3 tables: the old dots_no_batch
+        # default as a secondary measurement
+        for pol in ("dots_no_batch",):
             try:
                 p_step, p_state, p_batch_d, p_entries = tb.build(
                     t_batch, frozen=False, remat_policy=pol)

@@ -25,6 +25,12 @@ run_job() {
   echo "$(date -u +%T) JOB $name rc=$?" >> "$LOG"
 }
 
+# full remat ("nothing") won at b48 (364 img/s / 27.1% vs 356.6 for
+# dots_no_batch): recompute beats HBM reads of the saved dots.  Scan the
+# batch axis under full remat — less saved memory may move the knee up.
+run_job train_b64_nothing 2400 python benchmarks/train_bench.py --batch 64 --remat-policy nothing --iters 10
+run_job train_b96_nothing 2400 python benchmarks/train_bench.py --batch 96 --remat-policy nothing --iters 10
+
 run_job infer_sweep 3600 python benchmarks/infer_sweep.py
 
 run_job bn_mirflickr 14400 python studies/run_plan.py studies/bn_ablation_mirflickr_protocol.yaml --retries 2

@@ -74,15 +74,18 @@ def _pop_common(kw: dict) -> dict:
     # ViT family via vit_kwargs (non-ViT models just drop them):
     # - with_autocast (torch.cuda.amp, base_update.py autocast blocks) →
     #   bf16 compute policy (MXU peak path);
-    # - unfrozen backbones → scanned-block remat with the "dots_no_batch"
-    #   policy, the measured throughput/HBM sweet spot for full fine-tuning
-    #   (BASELINE.md: 335 img/s / 25.0% MFU vs 309 for "dots" at batch 48)
+    # - unfrozen backbones → scanned-block FULL remat ("nothing" policy):
+    #   the round-4 save-axis scan measured monotone speedup the LESS is
+    #   saved (364 img/s / 27.1% MFU full remat vs 356.6 dots_no_batch vs
+    #   347 dots at batch 48; "everything" doesn't even compile) — the
+    #   backward is HBM-bound, so recomputing the block forward beats
+    #   re-reading any saved intermediate (BASELINE.md round-4 table)
     vit_kw = dict(kw.get("vit_kwargs") or {})
     if autocast:
         vit_kw.setdefault("dtype", "bfloat16")
     if kw.get("frozen_backbone") is False:
         vit_kw.setdefault("remat_blocks", True)
-        vit_kw.setdefault("remat_policy", "dots_no_batch")
+        vit_kw.setdefault("remat_policy", "nothing")
     if vit_kw:
         kw["vit_kwargs"] = vit_kw
     return kw
