@@ -110,6 +110,7 @@ def train_dsch(
     best_state = None
     best_score = -float("inf")
     metrics_by_split: dict = {}
+    best_metrics: dict = {}
     global_step = int(jax.device_get(state.step))  # one fetch, then host-side
 
     for epoch in range(int(jax.device_get(state.epoch)) + 1, max_iter + 1):
@@ -165,6 +166,7 @@ def train_dsch(
             if score > best_score:
                 best_score = score
                 best_state = jax.device_get(state)
+                best_metrics = {k: dict(v) for k, v in metrics_by_split.items()}
             save_checkpoint(log_dir, state, dict(config), epoch, score=score,
                             best_score=best_score,
                             async_save=bool(exp.get("async_checkpoint", True)))
@@ -174,5 +176,8 @@ def train_dsch(
 
     finalize_checkpoints(log_dir)  # commit + promote the final async save
     if best_state is not None:
+        # best-model restoration (DSCH/train.py): the returned metrics must
+        # describe the restored best model, not the last (possibly worse) epoch
         state = jax.tree_util.tree_map(jnp.asarray, best_state)
+        metrics_by_split = best_metrics
     return state, metrics_by_split
