@@ -15,6 +15,9 @@ import sys
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
+# `python benchmarks/infer_sweep.py` puts benchmarks/ (not the repo root)
+# at sys.path[0]; bench.py's `from irw_tpu...` imports need the root
+sys.path.insert(0, os.path.abspath(os.path.join(_HERE, os.pardir)))
 spec = importlib.util.spec_from_file_location(
     "irw_bench", os.path.join(_HERE, os.pardir, "bench.py"))
 bench = importlib.util.module_from_spec(spec)
