@@ -31,7 +31,14 @@ run_job() {
   echo "$(date -u +%T) JOB $name rc=$rc" >> "$LOG"
 }
 
-run_job bn_mirflickr2 14400 python studies/run_plan.py studies/bn_ablation_mirflickr_protocol.yaml --retries 2
+# Hard deadline 14:35 UTC: the round ends ~15:30 and the driver's
+# end-of-round bench.py must find the chip free (BENCH_r03 died to a
+# held/wedged chip).  A timeout mid-run is safe: checkpoint_freq=5 +
+# maybe_resume make every run resumable next round.
+DEADLINE=$(date -u -d "14:35" +%s)
+TMO=$(( DEADLINE - $(date +%s) ))
+[ "$TMO" -lt 600 ] && { echo "$(date -u +%T) too close to round end, skipping study" >> "$LOG"; exit 0; }
+run_job bn_mirflickr2 "$TMO" python studies/run_plan.py studies/bn_ablation_mirflickr_protocol.yaml --retries 2
 run_job bn_aggregate2 600 python studies/aggregate_results.py --log-dir experiments/bn_mirflickr \
   --study bn_ablation_mirflickr --metric test/maphashing_level0 \
   --markdown experiments/bn_mirflickr/AGGREGATE.md
