@@ -96,6 +96,12 @@ def time_pipeline(device, batch, iters, variables, pipeline):
 def main():
     import jax
 
+    from irw_tpu.utils.chip_lock import acquire_chip_lock
+
+    # wait at the lock BEFORE jax.default_backend() attaches the chip:
+    # attaching while another process owns it poisons both (CLAUDE.md)
+    acquire_chip_lock()
+
     # persistent compile cache: repeat bench runs skip the multi-minute
     # XLA compilation of the flagship graph.  TPU-only: XLA:CPU AOT entries
     # are keyed without host CPU features, and loading one written on a
@@ -299,6 +305,19 @@ def _run_with_retries() -> int:
         a hung tunnel to ``probe_timeout`` per attempt instead of paying
         ``attempt_timeout`` (sized for a legitimate cold compile) on a
         chip that will never answer."""
+        # another live process holding the advisory chip lock means the
+        # chip is owned, not wedged: report alive without attaching (the
+        # real attempt will wait politely at the same lock)
+        try:
+            import fcntl
+            with open("/tmp/irw_chip.lock", "a") as lf:
+                try:
+                    fcntl.flock(lf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+                except OSError:
+                    return True, ""
+        except OSError:
+            pass
         try:
             p = subprocess.run(
                 [sys.executable, "-c",

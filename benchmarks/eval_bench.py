@@ -23,6 +23,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from irw_tpu.utils.chip_lock import acquire_chip_lock
+
+    acquire_chip_lock()  # serialize TPU attach on the shared dev chip
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-query", type=int, default=5717)
     ap.add_argument("--n-gallery", type=int, default=5717)

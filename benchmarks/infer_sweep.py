@@ -27,6 +27,9 @@ spec.loader.exec_module(bench)
 def main():
     import jax
 
+    from irw_tpu.utils.chip_lock import acquire_chip_lock
+
+    acquire_chip_lock()  # serialize TPU attach on the shared dev chip
     if jax.default_backend() != "cpu":
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(_HERE, os.pardir, ".jax_cache"))

@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     from irw_tpu.engine.landmark import landmark_evaluation
+    from irw_tpu.utils.chip_lock import acquire_chip_lock
 
+    acquire_chip_lock()  # serialize TPU attach on the shared dev chip
     rng = np.random.RandomState(0)
     nq, ng, d = 70, 4993, 2048
     q = rng.randn(nq, d).astype(np.float32)

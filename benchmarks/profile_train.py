@@ -73,6 +73,9 @@ def classify(op: str) -> str:
 
 
 def main():
+    from irw_tpu.utils.chip_lock import acquire_chip_lock
+
+    acquire_chip_lock()  # serialize TPU attach on the shared dev chip
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--steps", type=int, default=3)

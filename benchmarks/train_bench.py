@@ -124,6 +124,9 @@ def measure(step, state, batch, entries, batch_size: int, iters: int = 10):
 
 
 def main():
+    from irw_tpu.utils.chip_lock import acquire_chip_lock
+
+    acquire_chip_lock()  # serialize TPU attach on the shared dev chip
     parser = argparse.ArgumentParser()
     parser.add_argument("--frozen", action="store_true",
                         help="freeze the 4 ViT branches (round-1 regime)")

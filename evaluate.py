@@ -67,7 +67,9 @@ def load_and_evaluate(run_dir, eval_set="test", batch_size=256, num_workers=8,
 
 def main():
     from irw_tpu.utils import enable_compile_cache
+    from irw_tpu.utils.chip_lock import acquire_chip_lock
 
+    acquire_chip_lock()  # serialize TPU attach on the shared dev chip
     enable_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--run", required=True, help="run directory (contains weights/)")

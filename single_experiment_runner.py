@@ -56,6 +56,9 @@ def run_one(overrides, name_suffix: str = "") -> float | None:
 
 
 def main(argv=None) -> int:
+    from irw_tpu.utils.chip_lock import acquire_chip_lock
+
+    acquire_chip_lock()  # serialize TPU attach on the shared dev chip
     argv = list(sys.argv[1:] if argv is None else argv)
     multirun = False
     if "-m" in argv:
