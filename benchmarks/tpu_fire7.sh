@@ -15,10 +15,10 @@ cd /root/repo
 LOG=benchmarks/results/tpu_fire7.log
 echo "$(date -u +%T) tpu_fire7 start" >> "$LOG"
 
-if [ -f /tmp/tpu_fire6.pid ]; then
-  while kill -0 "$(cat /tmp/tpu_fire6.pid)" 2>/dev/null; do sleep 60; done
+if [ -f /tmp/tpu_fire8.pid ]; then
+  while kill -0 "$(cat /tmp/tpu_fire8.pid)" 2>/dev/null; do sleep 60; done
 fi
-echo "$(date -u +%T) phase 6 done, chip free" >> "$LOG"
+echo "$(date -u +%T) phase 8 done, chip free" >> "$LOG"
 
 touch /tmp/tpu_busy
 trap 'rm -f /tmp/tpu_busy' EXIT
