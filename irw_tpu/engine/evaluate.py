@@ -141,6 +141,7 @@ def _metric_suite(query_emb, query_labels, gallery_emb, gallery_labels, cfg):
                 k=k,
                 same_source=same_source,
                 with_hashing_stats=with_hash,
+                query_chunk=cfg.get("query_chunk", 512),
             )
         for name, value in res.items():
             if name.endswith("curve"):
@@ -161,7 +162,51 @@ def evaluate(
     distance_metric: str = "cosine",
     multi_label: bool | None = None,
 ):
-    """Evaluate retrieval quality.
+    """Evaluate retrieval quality, with one out-of-memory backoff.
+
+    A mid-training eval runs on whatever HBM the resident train state and
+    allocator fragmentation leave over; on a marginal-headroom chip the
+    same shapes can pass ten evals and then RESOURCE_EXHAUST the next
+    (observed on the VOC protocol: three runs died at an epoch-35 eval as
+    sole chip owner).  Rather than kill a 35-epoch run, retry ONCE at half
+    the embed batch and half the metric query chunk — smaller transients,
+    identical results.
+    """
+    try:
+        return _evaluate_once(
+            apply_fn, variables, datasets, host_transform, device_transform,
+            batch_size, num_workers, top_k, distance_metric, multi_label,
+        )
+    except Exception as e:  # jaxlib raises backend-specific RuntimeErrors
+        if "RESOURCE_EXHAUSTED" not in repr(e):
+            raise
+        from irw_tpu.utils import LOGGER
+
+        small_bs = max(batch_size // 2, 32)
+        LOGGER.warning(
+            f"eval RESOURCE_EXHAUSTED at batch {batch_size}; retrying once "
+            f"at batch {small_bs} / query_chunk 256")
+        return _evaluate_once(
+            apply_fn, variables, datasets, host_transform, device_transform,
+            small_bs, num_workers, top_k, distance_metric, multi_label,
+            query_chunk=256,
+        )
+
+
+def _evaluate_once(
+    apply_fn,
+    variables,
+    datasets,
+    host_transform=None,
+    device_transform=None,
+    batch_size: int = 256,
+    num_workers: int = 8,
+    top_k=None,
+    distance_metric: str = "cosine",
+    multi_label: bool | None = None,
+    query_chunk: int = 512,
+):
+    """One evaluation pass.
 
     ``datasets``: either a single dataset (self-retrieval with drop-self,
     the train/val splits of evaluate.py:101-135) or a
@@ -169,7 +214,8 @@ def evaluate(
 
     Returns a flat dict of metrics (suffixed ``_levelL``).
     """
-    cfg = {"top_k": top_k, "distance_metric": distance_metric}
+    cfg = {"top_k": top_k, "distance_metric": distance_metric,
+           "query_chunk": query_chunk}
     if multi_label is not None:
         cfg["multi_label"] = multi_label
 

@@ -367,6 +367,7 @@ def compute_retrieval_metrics(
     with_curve: bool = False,
     with_hashing_stats: bool = False,
     gallery_valid=None,
+    query_chunk: int = 512,
 ):
     """One call = the reference's CustomCalculator.get_accuracy
     (accuracy_calculator.py:293-363) on device.
@@ -396,6 +397,7 @@ def compute_retrieval_metrics(
         recall_ks=tuple(recall_ks),
         with_curve=with_curve,
         gallery_valid=gallery_valid,
+        query_chunk=query_chunk,
     )
     out = {key: (val if key.endswith("curve") else float(val)) for key, val in out.items()}
     if with_hashing_stats:

@@ -1019,3 +1019,38 @@ def test_per_split_eval_freqs(tiny_setup, tmp_path):
         str(tmp_path),
     )
     assert "test" in metrics and "train" not in metrics
+
+
+def test_evaluate_oom_backoff(monkeypatch):
+    """evaluate() retries ONCE at half batch / query_chunk 256 when the
+    first pass dies with RESOURCE_EXHAUSTED (the marginal-HBM mid-training
+    eval failure observed on the VOC protocol), and re-raises anything
+    else untouched."""
+    import importlib
+
+    ev = importlib.import_module("irw_tpu.engine.evaluate")
+
+    calls = []
+
+    def fake_once(apply_fn, variables, datasets, host_transform=None,
+                  device_transform=None, batch_size=256, num_workers=8,
+                  top_k=None, distance_metric="cosine", multi_label=None,
+                  query_chunk=512):
+        calls.append((batch_size, query_chunk))
+        if len(calls) == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return {"map_level0": 0.5}
+
+    monkeypatch.setattr(ev, "_evaluate_once", fake_once)
+    out = ev.evaluate(None, None, None, batch_size=1000)
+    assert out == {"map_level0": 0.5}
+    assert calls == [(1000, 512), (500, 256)]
+
+    def fake_other(*a, **k):
+        raise ValueError("unrelated")
+
+    monkeypatch.setattr(ev, "_evaluate_once", fake_other)
+    import pytest
+
+    with pytest.raises(ValueError):
+        ev.evaluate(None, None, None)
