@@ -172,7 +172,16 @@ def main():
     p.add_argument("--group-key", default=None,
                    help="optional second sweep axis: the paired Δ is computed "
                         "within each (group value, seed) cell")
-    p.add_argument("--baseline", type=float, default=0.0)
+    def _baseline(v: str) -> float:
+        # same mapping as collect().as_num so boolean sweeps (use_bn) can
+        # name their baseline as True/False on the CLI
+        if v in ("True", "true"):
+            return 1.0
+        if v in ("False", "false"):
+            return 0.0
+        return float(v)
+
+    p.add_argument("--baseline", type=_baseline, default=0.0)
     p.add_argument("--metrics", default="test/maphashing_level0",
                    help="comma-separated; the first gets the paired-Δ column")
     p.add_argument("--out", default=None, help="also write the table here")
