@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(batch_size: int, frozen: bool, sub_batch=None, flash=False,
-          remat_policy=None, fused_qkv=False, split_cls=False):
+          remat_policy=None, fused_qkv=False, split_cls=False,
+          vmem_attn=False):
     import jax
     import optax
 
@@ -52,6 +53,8 @@ def build(batch_size: int, frozen: bool, sub_batch=None, flash=False,
         vit_kwargs["fused_qkv"] = True
     if split_cls:
         vit_kwargs["split_cls"] = True
+    if vmem_attn:
+        vit_kwargs["vmem_attn"] = True
     model = get_model(
         "multidino_attention_hashing_ortho",
         backbone="dinov2_vits14",
@@ -144,6 +147,9 @@ def main():
                         help="lane-aligned CLS-split attention (seq 257->256+1)")
     parser.add_argument("--flash", action="store_true",
                         help="Pallas flash attention + fused QKV projection")
+    parser.add_argument("--vmem-attn", action="store_true",
+                        help="VMEM-resident fused attention kernel "
+                             "(ops/vmem_attention.py)")
     parser.add_argument("--iters", type=int, default=10)
     args = parser.parse_args()
 
@@ -159,7 +165,8 @@ def main():
                                         flash=args.flash,
                                         remat_policy=args.remat_policy,
                                         fused_qkv=args.fused_qkv,
-                                        split_cls=args.split_cls)
+                                        split_cls=args.split_cls,
+                                        vmem_attn=args.vmem_attn)
     dt, loss0, compile_s = measure(step, state, batch, entries, args.batch,
                                    args.iters)
     ips = args.batch / dt
@@ -178,6 +185,7 @@ def main():
           + (f", policy={args.remat_policy}" if args.remat_policy else "")
           + (", fused_qkv" if args.fused_qkv else "")
           + (", split_cls" if args.split_cls else "")
+          + (", vmem_attn" if args.vmem_attn else "")
           + f"]: {dt*1000:.1f} ms/step -> {ips:.0f} img/s"
           f" | MFU {mfu*100:.1f}% of {label}"
           f" ({flops_per_img/1e9:.1f} GFLOP/img analytic)"

@@ -319,6 +319,8 @@ class Block(nn.Module):
     use_flash: bool = False
     fused_qkv: bool = False  # single fused QKV matmul (param-tree identical)
     split_cls: bool = False  # lane-aligned CLS-split attention (same params)
+    vmem_attn: bool = False  # VMEM-resident fused attention kernel (same
+    # params; ops/vmem_attention.py — no HBM-materialised (N,N) tensors)
     exact_gelu: bool = False  # erf GELU for converted-torch-weight parity
     tag_attn_probs: bool = False  # name-tag softmax output for remat policies
     quant_int8: bool = False  # int8 MXU matmuls for qkv/out/mlp (serving only)
@@ -343,14 +345,22 @@ class Block(nn.Module):
             attn_out = FusedMHA(self.num_heads, dropout=self.dropout,
                                 dtype=self.dtype, name="attn")(y, train=train)
         else:
+            attention_fn = None
+            if self.vmem_attn:
+                # VMEM-resident fused kernel behind the stock projections:
+                # identical param tree, no (N, N) tensor in HBM.  Falls back
+                # to flax attention internally when dropout is active.
+                from irw_tpu.ops.vmem_attention import vmem_attention_fn
+                attention_fn = vmem_attention_fn
+            elif self.tag_attn_probs:
+                attention_fn = _tagged_attention_fn
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads,
                 dropout_rate=self.dropout,
                 deterministic=not train,
                 dtype=self.dtype,
                 name="attn",
-                **({"attention_fn": _tagged_attention_fn}
-                   if self.tag_attn_probs else {}),
+                **({"attention_fn": attention_fn} if attention_fn else {}),
             )
             attn_out = attn(y, y)
         # LayerScale params live in f32 but multiply in the compute dtype:
@@ -384,6 +394,7 @@ def block_kwargs(vit: "VisionTransformer") -> dict:
         use_flash=vit.use_flash,
         fused_qkv=vit.fused_qkv,
         split_cls=vit.split_cls,
+        vmem_attn=vit.vmem_attn,
         exact_gelu=vit.exact_gelu,
         quant_int8=vit.quant_int8,
         # name-tag the softmax output only when a *_attn policy will
@@ -418,6 +429,8 @@ class VisionTransformer(nn.Module):
     use_flash: bool = False  # Pallas flash attention (TPU only)
     fused_qkv: bool = False  # fuse q/k/v into one matmul (same param tree)
     split_cls: bool = False  # lane-aligned CLS-split attention (same param tree)
+    vmem_attn: bool = False  # VMEM-resident fused attention kernel (same
+    # param tree; interpret-mode on CPU — see ops/vmem_attention.py)
     exact_gelu: bool = False  # erf GELU (torch parity); default tanh approx
     quant_int8: bool = False  # int8 MXU serving path (same param tree)
     dtype: jnp.dtype = jnp.float32

@@ -1,0 +1,216 @@
+"""VMEM-resident fused multi-head attention for short sequences.
+
+Motivation (round-4 profiler evidence, benchmarks/profile_train.py): the
+unfrozen flagship train step is *movement-bound* — 23.1% of device op time
+is copy/layout, dominated by the materialised per-layer attention tensors
+``(bands·B, heads, N, N)``.  Stock XLA must round-trip QKᵀ and the softmax
+output through HBM because MXU outputs cannot be producer-fused into the
+next matmul; at N = 257 that is ~152 MB per tensor per layer.  But the
+whole per-(batch, head) attention problem is tiny — Q/K/V are (257, 64),
+the score matrix is (257, 257) f32 ≈ 264 KB — so it fits in VMEM with room
+to spare.  This kernel therefore computes softmax(QKᵀ·scale)·V for a block
+of batch rows entirely on-chip: the only HBM traffic is Q, K, V in and the
+context out, i.e. the same bytes the projections already move.
+
+This is NOT flash attention (jax.experimental.pallas.ops.tpu.flash_attention
+measured 2.3× *slower* here — its block-128 online-softmax tiling targets
+long sequences and pads 257 → 384 lanes, BASELINE.md round 2/3).  At short
+N no online softmax is needed: one block holds the full key axis, so the
+softmax is exact, single-pass, and unpadded (blocks are exactly N long;
+Mosaic masks the ragged sublane tiles internally).
+
+Backward is a custom VJP that recomputes the probabilities in VMEM
+(FlashAttention-style recompute, arXiv:2205.14135 §3.1) and emits dQ/dK/dV
+in one kernel — again no (N, N) tensor ever reaches HBM, which also makes
+the op remat-friendly: under ``remat_policy="nothing"`` the re-forward is
+the same VMEM-resident kernel.
+
+Layout contract: q, k, v are ``(B, N, H, hd)`` — exactly what flax's
+``MultiHeadDotProductAttention`` projections produce — and the grid DMA
+gathers the strided ``(bb, N, 1, hd)`` head slices directly, so no
+transpose or pad of Q/K/V is ever materialised either.
+
+Reference: the attention math matches main/models/multi_dino_attention.py's
+torch ``nn.MultiheadAttention`` blocks (SURVEY §3.4) and flax's
+``dot_product_attention`` (the default path in irw_tpu/models/vit.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pick_block(b: int, cap: int) -> int:
+    """Largest power-of-two batch block ≤ cap that divides b (so no grid
+    cell ever overruns the batch axis — keeps the kernel mask-free)."""
+    for cand in (cap, cap // 2, cap // 4, cap // 8, 4, 2, 1):
+        if cand >= 1 and b % cand == 0:
+            return cand
+    return 1
+
+
+def _dotg(a, b, dims):
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
+# dimension_numbers, all batched over the leading bb axis:
+_QK = (((2,), (2,)), ((0,), (0,)))   # (bb,N,hd)·(bb,N,hd) → (bb,Nq,Nk)
+_PV = (((2,), (1,)), ((0,), (0,)))   # (bb,Nq,Nk)·(bb,Nk,hd) → (bb,Nq,hd)
+_TQ = (((1,), (1,)), ((0,), (0,)))   # contract the q axis
+
+
+def _softmax_f32(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[:, :, 0, :]
+    k = k_ref[:, :, 0, :]
+    v = v_ref[:, :, 0, :]
+    s = _dotg(q, k, _QK) * scale                      # (bb,Nq,Nk) f32
+    p = _softmax_f32(s).astype(q.dtype)
+    o = _dotg(p, v, _PV)                              # f32 accumulate
+    o_ref[:, :, 0, :] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    q = q_ref[:, :, 0, :]
+    k = k_ref[:, :, 0, :]
+    v = v_ref[:, :, 0, :]
+    g = g_ref[:, :, 0, :]
+    s = _dotg(q, k, _QK) * scale
+    p = _softmax_f32(s)                               # (bb,Nq,Nk) f32
+    pc = p.astype(q.dtype)
+    dv = _dotg(pc, g, _TQ)                            # (bb,Nk,hd)
+    dp = _dotg(g, v, _QK)                             # (bb,Nq,Nk) f32
+    t = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = (p * (dp - t) * scale).astype(q.dtype)
+    dq = _dotg(ds, k, _PV)                            # (bb,Nq,hd)
+    dk = _dotg(ds, q, _TQ)                            # (bb,Nk,hd)
+    dq_ref[:, :, 0, :] = dq.astype(dq_ref.dtype)
+    dk_ref[:, :, 0, :] = dk.astype(dk_ref.dtype)
+    dv_ref[:, :, 0, :] = dv.astype(dv_ref.dtype)
+
+
+def _head_spec(bb, n, hd):
+    return pl.BlockSpec((bb, n, 1, hd), lambda b, h: (b, 0, h, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _fwd_call(q, k, v, scale, interpret, block_b):
+    b, n, h, hd = q.shape
+    bb = _pick_block(b, block_b)
+    spec = _head_spec(bb, n, hd)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=(b // bb, h),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * hd,
+            bytes_accessed=4 * b * n * h * hd * q.dtype.itemsize,
+            transcendentals=b * h * n * n,
+        ),
+    )(q, k, v)
+
+
+def _bwd_call(q, k, v, g, scale, interpret, block_b):
+    b, n, h, hd = q.shape
+    bb = _pick_block(b, block_b)
+    spec = _head_spec(bb, n, hd)
+    shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(b // bb, h),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * n * n * hd,
+            bytes_accessed=7 * b * n * h * hd * q.dtype.itemsize,
+            transcendentals=b * h * n * n,
+        ),
+    )(q, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _core(scale, interpret, block_b_fwd, block_b_bwd, q, k, v):
+    return _fwd_call(q, k, v, scale, interpret, block_b_fwd)
+
+
+def _core_fwd(scale, interpret, block_b_fwd, block_b_bwd, q, k, v):
+    return _fwd_call(q, k, v, scale, interpret, block_b_fwd), (q, k, v)
+
+
+def _core_bwd(scale, interpret, block_b_fwd, block_b_bwd, res, g):
+    q, k, v = res
+    return _bwd_call(q, k, v, g, scale, interpret, block_b_bwd)
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+def fused_attention(q, k, v, *, scale=None, interpret=None,
+                    block_b_fwd=8, block_b_bwd=4):
+    """softmax(q·kᵀ·scale)·v per head, VMEM-resident, differentiable.
+
+    q, k, v: ``(..., N, H, hd)`` with identical leading batch dims (self-
+    attention shapes).  ``scale`` defaults to 1/√hd.  The (N, N) score and
+    probability tensors live only in VMEM — sized for N ≲ 1k (the f32 score
+    block is ``block_b·N²·4`` bytes; at N = 257, bb = 8 that is 2.1 MB).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    *lead, n, h, hd = q.shape
+    if scale is None:
+        scale = 1.0 / (hd ** 0.5)
+    b = 1
+    for d in lead:
+        b *= d
+    qf, kf, vf = (t.reshape(b, n, h, hd) for t in (q, k, v))
+    out = _core(float(scale), bool(interpret), int(block_b_fwd),
+                int(block_b_bwd), qf, kf, vf)
+    return out.reshape(*lead, n, h, hd)
+
+
+def vmem_attention_fn(query, key, value, bias=None, mask=None,
+                      dropout_rng=None, dropout_rate=0.0, deterministic=False,
+                      dtype=None, precision=None):
+    """Drop-in ``attention_fn`` for flax ``MultiHeadDotProductAttention``.
+
+    Uses the fused VMEM kernel whenever the call is plain self-attention
+    (no bias/mask, no active dropout); otherwise falls back to flax's
+    ``dot_product_attention`` so correctness never depends on the kernel's
+    supported surface.  flax passes q *unscaled* and applies 1/√depth inside
+    its weights einsum — the kernel applies the same scale.
+    """
+    needs_fallback = (
+        bias is not None
+        or mask is not None
+        or (dropout_rate > 0.0 and not deterministic)
+        or query.shape != key.shape
+    )
+    if needs_fallback:
+        from flax.linen.attention import dot_product_attention
+
+        return dot_product_attention(
+            query, key, value, bias=bias, mask=mask, dropout_rng=dropout_rng,
+            dropout_rate=dropout_rate, deterministic=deterministic,
+            dtype=dtype, precision=precision)
+    if dtype is not None:
+        query, key, value = (t.astype(dtype) for t in (query, key, value))
+    return fused_attention(query, key, value)

@@ -1,0 +1,150 @@
+"""VMEM-resident fused attention kernel (irw_tpu/ops/vmem_attention.py).
+
+On CPU the kernel runs in Pallas interpret mode (same auto-detection as the
+DWT kernels), so these tests exercise the exact kernel program that compiles
+on the TPU.  Parity targets:
+
+- forward == flax ``dot_product_attention`` semantics (unscaled q in,
+  1/√hd applied inside) to f32 roundoff;
+- custom-VJP gradients == autodiff through the reference einsum chain;
+- ragged shapes (N = 257-style odd lengths, batch not divisible by the
+  block) are mask-free by construction (block picks a divisor);
+- ``Block(vmem_attn=True)`` is numerically interchangeable with the stock
+  ``nn.MultiHeadDotProductAttention`` Block under the SAME params (the
+  param tree is identical — the kernel sits behind the stock projections);
+- dropout-active calls fall back to flax attention (exact equality with
+  the stock path, same rngs).
+
+Reference: the attention math of main/models/multi_dino_attention.py's
+nn.MultiheadAttention blocks (SURVEY §3.4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from irw_tpu.ops.vmem_attention import fused_attention, vmem_attention_fn
+
+
+def _ref_attention(q, k, v):
+    """flax dot_product_attention semantics: scale q by 1/sqrt(hd), softmax
+    over keys, weighted sum — computed in f32 like the kernel."""
+    hd = q.shape[-1]
+    s = jnp.einsum("...qhd,...khd->...hqk",
+                   q.astype(jnp.float32) / np.sqrt(hd), k.astype(jnp.float32))
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("...hqk,...khd->...qhd", p.astype(q.dtype), v)
+
+
+@pytest.mark.parametrize("shape", [
+    (3, 17, 2, 8),        # batch indivisible by the block, odd N
+    (2, 4, 33, 3, 16),    # two leading batch dims
+    (8, 257, 6, 64),      # the flagship shape (ViT-S, 256 patches + CLS)
+])
+def test_forward_parity(shape):
+    rng = np.random.RandomState(0)
+    q, k, v = (jnp.asarray(rng.randn(*shape), jnp.float32) for _ in range(3))
+    out = fused_attention(q, k, v)
+    ref = _ref_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_gradient_parity():
+    rng = np.random.RandomState(1)
+    shape = (3, 29, 2, 16)
+    q, k, v = (jnp.asarray(rng.randn(*shape), jnp.float32) for _ in range(3))
+    cot = jnp.asarray(rng.randn(*shape), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_attention(q, k, v) * cot)
+
+    gf = jax.grad(loss_fused, (0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=5e-6, err_msg=f"d{name}")
+
+
+def test_bf16_forward_close():
+    rng = np.random.RandomState(2)
+    shape = (2, 257, 6, 64)
+    q, k, v = (jnp.asarray(rng.randn(*shape), jnp.bfloat16) for _ in range(3))
+    out = fused_attention(q, k, v).astype(jnp.float32)
+    ref = _ref_attention(q, k, v).astype(jnp.float32)
+    # bf16 inputs, f32 softmax in both — differences are bf16 rounding of
+    # the matmul inputs/outputs only
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_attention_fn_fallback_paths():
+    """bias/mask/active-dropout route to flax's dot_product_attention."""
+    from flax.linen.attention import dot_product_attention
+
+    rng = np.random.RandomState(3)
+    shape = (2, 9, 2, 8)
+    q, k, v = (jnp.asarray(rng.randn(*shape), jnp.float32) for _ in range(3))
+    mask = jnp.tril(jnp.ones((9, 9), bool))[None, None]
+    got = vmem_attention_fn(q, k, v, mask=mask)
+    want = dot_product_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    # dropout active → fallback (bitwise-equal to flax with the same rng)
+    key = jax.random.PRNGKey(0)
+    got = vmem_attention_fn(q, k, v, dropout_rng=key, dropout_rate=0.5,
+                            deterministic=False)
+    want = dot_product_attention(q, k, v, dropout_rng=key, dropout_rate=0.5,
+                                 deterministic=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_block_parity_same_params():
+    """Block(vmem_attn=True) shares the stock Block's param tree and output."""
+    from irw_tpu.models.vit import Block
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 17, 32), jnp.float32)
+    stock = Block(num_heads=4)
+    fused = Block(num_heads=4, vmem_attn=True)
+    params = stock.init(jax.random.PRNGKey(0), x)
+    # identical param trees: the kernel lives behind the stock projections
+    fused_params = fused.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(fused_params)
+    out_stock = stock.apply(params, x)
+    out_fused = fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_stock),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_vit_grad_parity_tiny():
+    """End-to-end through a tiny scanned+remat ViT: loss and param grads of
+    the vmem_attn model match the stock model under shared params."""
+    from irw_tpu.models.vit import VisionTransformer
+
+    def build(vmem):
+        return VisionTransformer(embed_dim=32, depth=2, num_heads=2,
+                                 patch_size=8, img_size=16, scan_blocks=True,
+                                 remat_blocks=True, remat_policy="nothing",
+                                 vmem_attn=vmem)
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 16, 16, 3), jnp.float32)
+    params = build(False).init(jax.random.PRNGKey(0), x)
+
+    def loss(p, vmem):
+        cls, _ = build(vmem).apply(p, x)
+        return jnp.sum(cls ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
