@@ -25,10 +25,13 @@ in one kernel — again no (N, N) tensor ever reaches HBM, which also makes
 the op remat-friendly: under ``remat_policy="nothing"`` the re-forward is
 the same VMEM-resident kernel.
 
-Layout contract: q, k, v are ``(B, N, H, hd)`` — exactly what flax's
-``MultiHeadDotProductAttention`` projections produce — and the grid DMA
-gathers the strided ``(bb, N, 1, hd)`` head slices directly, so no
-transpose or pad of Q/K/V is ever materialised either.
+Layout contract: the public API takes ``(…, N, H, hd)`` — what flax's
+``MultiHeadDotProductAttention`` projections produce — and transposes to
+``(B, H, N, hd)`` for the kernel, because Mosaic requires the block's minor
+two dims to be tile-divisible or whole: heads must ride a leading grid dim,
+not a minor-dim slice.  The transpose is O(B·N·D) — the same bytes the
+projections already move, ~50× smaller than the (N, N) traffic removed —
+and XLA's layout assignment can often fold it into adjacent ops.
 
 Reference: the attention math matches main/models/multi_dino_attention.py's
 torch ``nn.MultiheadAttention`` blocks (SURVEY §3.4) and flax's
@@ -75,20 +78,20 @@ def _softmax_f32(s):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    q = q_ref[:, :, 0, :]
-    k = k_ref[:, :, 0, :]
-    v = v_ref[:, :, 0, :]
+    q = q_ref[:, 0]
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
     s = _dotg(q, k, _QK) * scale                      # (bb,Nq,Nk) f32
     p = _softmax_f32(s).astype(q.dtype)
     o = _dotg(p, v, _PV)                              # f32 accumulate
-    o_ref[:, :, 0, :] = o.astype(o_ref.dtype)
+    o_ref[:, 0] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale):
-    q = q_ref[:, :, 0, :]
-    k = k_ref[:, :, 0, :]
-    v = v_ref[:, :, 0, :]
-    g = g_ref[:, :, 0, :]
+    q = q_ref[:, 0]
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    g = g_ref[:, 0]
     s = _dotg(q, k, _QK) * scale
     p = _softmax_f32(s)                               # (bb,Nq,Nk) f32
     pc = p.astype(q.dtype)
@@ -98,18 +101,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale):
     ds = (p * (dp - t) * scale).astype(q.dtype)
     dq = _dotg(ds, k, _PV)                            # (bb,Nq,hd)
     dk = _dotg(ds, q, _TQ)                            # (bb,Nk,hd)
-    dq_ref[:, :, 0, :] = dq.astype(dq_ref.dtype)
-    dk_ref[:, :, 0, :] = dk.astype(dk_ref.dtype)
-    dv_ref[:, :, 0, :] = dv.astype(dv_ref.dtype)
+    dq_ref[:, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[:, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[:, 0] = dv.astype(dv_ref.dtype)
 
 
 def _head_spec(bb, n, hd):
-    return pl.BlockSpec((bb, n, 1, hd), lambda b, h: (b, 0, h, 0),
+    # layout (B, H, N, hd): heads ride a LEADING dim so the block's minor
+    # two dims (N, hd) equal the array's — Mosaic requires the last two
+    # block dims be tile-divisible or whole (grid_blockspec constraint)
+    return pl.BlockSpec((bb, 1, n, hd), lambda b, h: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _fwd_call(q, k, v, scale, interpret, block_b):
-    b, n, h, hd = q.shape
+    b, h, n, hd = q.shape
     bb = _pick_block(b, block_b)
     spec = _head_spec(bb, n, hd)
     return pl.pallas_call(
@@ -128,7 +134,7 @@ def _fwd_call(q, k, v, scale, interpret, block_b):
 
 
 def _bwd_call(q, k, v, g, scale, interpret, block_b):
-    b, n, h, hd = q.shape
+    b, h, n, hd = q.shape
     bb = _pick_block(b, block_b)
     spec = _head_spec(bb, n, hd)
     shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
@@ -181,10 +187,14 @@ def fused_attention(q, k, v, *, scale=None, interpret=None,
     b = 1
     for d in lead:
         b *= d
-    qf, kf, vf = (t.reshape(b, n, h, hd) for t in (q, k, v))
+    # kernel layout is (B, H, N, hd): the head-gather transpose is left to
+    # XLA's layout assignment (it typically folds into the projection's
+    # output or the kernel's DMA; measured in benchmarks/vmem_attn_micro.py)
+    qf, kf, vf = (jnp.moveaxis(t.reshape(b, n, h, hd), 1, 2)
+                  for t in (q, k, v))
     out = _core(float(scale), bool(interpret), int(block_b_fwd),
                 int(block_b_bwd), qf, kf, vf)
-    return out.reshape(*lead, n, h, hd)
+    return jnp.moveaxis(out, 1, 2).reshape(*lead, n, h, hd)
 
 
 def vmem_attention_fn(query, key, value, bias=None, mask=None,
