@@ -177,13 +177,16 @@ def main():
                           "benchmarks", "train_bench.py"))
         tb = _ilu.module_from_spec(spec)
         spec.loader.exec_module(tb)
-        # batch 48 + FULL block remat ("nothing") is the measured unfrozen
-        # winner — the round-4 save-axis scan found throughput monotone in
-        # how little is saved (BASELINE.md round-4 table); it is also the
-        # engine default (models/factory.py)
+        # batch 48 + FULL block remat ("nothing") + the VMEM-resident fused
+        # attention kernel (ops/vmem_attention.py) is the measured unfrozen
+        # winner: 417 img/s / 31.1% MFU vs 364 stock at the b48 knee, and
+        # 401 vs 279 at the reference's batch 96 — the kernel removes the
+        # HBM-materialised (N,N) attention tensors the round-4 profiler
+        # identified as the dominant traffic class.  Also the engine
+        # default on TPU (models/factory.py).
         t_batch = 48
         step, t_state, t_batch_data, t_entries = tb.build(
-            t_batch, frozen=False, remat_policy="nothing")
+            t_batch, frozen=False, remat_policy="nothing", vmem_attn=True)
         dt, _, _ = tb.measure(step, t_state, t_batch_data, t_entries, t_batch,
                               iters=5)
         train_ips = t_batch / dt
@@ -192,18 +195,17 @@ def main():
             "train_ms_per_step_unfrozen": round(dt * 1000, 1),
             "train_mfu_unfrozen": round(3.0 * fwd_flops * train_ips / peak, 4),
         }
-        # continuity with the round-2/3 tables: the old dots_no_batch
-        # default as a secondary measurement
-        for pol in ("dots_no_batch",):
-            try:
-                p_step, p_state, p_batch_d, p_entries = tb.build(
-                    t_batch, frozen=False, remat_policy=pol)
-                p_dt, _, _ = tb.measure(p_step, p_state, p_batch_d, p_entries,
-                                        t_batch, iters=5)
-                train_extras[f"train_ips_{pol}"] = round(t_batch / p_dt, 1)
-            except Exception as exc:
-                train_extras[f"train_ips_{pol}"] = None
-                train_extras[f"train_{pol}_error"] = repr(exc)[:160]
+        # continuity with the round-2/3/4 tables: the stock XLA-attention
+        # full-remat step as a secondary measurement
+        try:
+            p_step, p_state, p_batch_d, p_entries = tb.build(
+                t_batch, frozen=False, remat_policy="nothing")
+            p_dt, _, _ = tb.measure(p_step, p_state, p_batch_d, p_entries,
+                                    t_batch, iters=5)
+            train_extras["train_ips_stock_attn"] = round(t_batch / p_dt, 1)
+        except Exception as exc:
+            train_extras["train_ips_stock_attn"] = None
+            train_extras["train_stock_attn_error"] = repr(exc)[:160]
     except Exception as exc:  # keep the headline line robust
         train_extras = {"train_ips_unfrozen": None,
                         "train_bench_error": repr(exc)[:200]}

@@ -86,6 +86,16 @@ def _pop_common(kw: dict) -> dict:
     if kw.get("frozen_backbone") is False:
         vit_kw.setdefault("remat_blocks", True)
         vit_kw.setdefault("remat_policy", "nothing")
+        # VMEM-resident fused attention (ops/vmem_attention.py): no
+        # HBM-materialised (N, N) tensors in forward OR backward — the
+        # profiled dominant traffic class of the unfrozen step.  Measured
+        # 401 img/s / 29.9% MFU at batch 96 vs 279 without (round 4).
+        # TPU-only default: on CPU the kernel runs in interpret mode
+        # (numerically verified but slow — tests/test_vmem_attention.py),
+        # so CPU-mesh runs keep the stock XLA attention.
+        import jax
+
+        vit_kw.setdefault("vmem_attn", jax.default_backend() == "tpu")
     if vit_kw:
         kw["vit_kwargs"] = vit_kw
     return kw
