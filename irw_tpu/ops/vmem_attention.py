@@ -170,18 +170,40 @@ def _core_bwd(scale, interpret, block_b_fwd, block_b_bwd, res, g):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
+def _auto_block(n: int, live_planes: int, cap: int) -> int:
+    """Largest power-of-two batch block whose live f32 (bb, N, N) temporaries
+    fit a 12 MB scoped-VMEM budget (Mosaic's stack limit is 16 MB).  At the
+    flagship N = 257 this resolves to the tuned fwd 8 / bwd 4; at longer
+    sequences (e.g. N = 577 for 336² inputs) it shrinks instead of OOMing
+    at compile time."""
+    budget = 12 * 1024 * 1024
+    bb = max(1, budget // (live_planes * n * n * 4))
+    p = 1
+    while p * 2 <= min(bb, cap):
+        p *= 2
+    return p
+
+
 def fused_attention(q, k, v, *, scale=None, interpret=None,
-                    block_b_fwd=8, block_b_bwd=4):
+                    block_b_fwd=None, block_b_bwd=None):
     """softmax(q·kᵀ·scale)·v per head, VMEM-resident, differentiable.
 
     q, k, v: ``(..., N, H, hd)`` with identical leading batch dims (self-
     attention shapes).  ``scale`` defaults to 1/√hd.  The (N, N) score and
-    probability tensors live only in VMEM — sized for N ≲ 1k (the f32 score
-    block is ``block_b·N²·4`` bytes; at N = 257, bb = 8 that is 2.1 MB).
+    probability tensors live only in VMEM; the batch block defaults scale
+    with N so the scoped stack stays under Mosaic's 16 MB limit (at N = 257
+    the f32 score block is ``8·N²·4`` ≈ 2.1 MB and the defaults are the
+    measured-fastest fwd 8 / bwd 4).
     """
     if interpret is None:
         interpret = _interpret_default()
     *lead, n, h, hd = q.shape
+    if block_b_fwd is None:
+        # forward holds ~3 live (bb, N, N) f32 planes (scores, exp, probs)
+        block_b_fwd = _auto_block(n, live_planes=3, cap=8)
+    if block_b_bwd is None:
+        # backward holds ~5 (scores, probs, dp, ds, plus a cast copy)
+        block_b_bwd = _auto_block(n, live_planes=5, cap=4)
     if scale is None:
         scale = 1.0 / (hd ** 0.5)
     b = 1

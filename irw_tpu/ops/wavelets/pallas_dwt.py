@@ -170,7 +170,11 @@ def _haar_kernel(levels: int, x_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("levels", "basis", "tile_n", "interpret"))
 def lifting_multi_level_pallas(
-    x, levels: int = 1, basis: str = "haar", tile_n: int = 8, interpret: bool | None = None
+    x,
+    levels: int = 1,
+    basis: str = "haar",
+    tile_n: int | None = None,
+    interpret: bool | None = None,
 ):
     """Fused multi-level lifting DWT (haar, cdf97, or any declarative
     lifting family), coarsest-level subbands only (the reference
@@ -186,6 +190,17 @@ def lifting_multi_level_pallas(
     n, h, w = x.shape
     assert h % (2**levels) == 0 and w % (2**levels) == 0, (h, w, levels)
     ho, wo = h // 2**levels, w // 2**levels
+    if tile_n is None:
+        # Mosaic caps the kernel's scoped VMEM stack at 16 MB.  Measured
+        # scoped use for haar levels=1 at 224² is ~2.13 MB per sample at
+        # f32 (≈11 copies of the (H, W) plane held live across the
+        # lift/transpose dataflow); cdf97 and the declarative families
+        # roughly double that.  Budget 24 plane-copies in 12 MB so every
+        # basis fits with headroom — at 64² this still resolves to the
+        # full tile of 8, at 224² it drops to 2 (the kernel is
+        # bandwidth-bound, so smaller tiles cost nothing).
+        plane = h * w * x.dtype.itemsize
+        tile_n = max(1, min(n, 8, (12 * 1024 * 1024) // (plane * 24)))
     pad_n = (-n) % tile_n
     if pad_n:
         x = jnp.concatenate([x, jnp.zeros((pad_n, h, w), x.dtype)], axis=0)
@@ -205,11 +220,15 @@ def lifting_multi_level_pallas(
     return out[:n]
 
 
-def haar_multi_level_pallas(x, levels: int = 1, tile_n: int = 8, interpret: bool | None = None):
+def haar_multi_level_pallas(
+    x, levels: int = 1, tile_n: int | None = None, interpret: bool | None = None
+):
     return lifting_multi_level_pallas(x, levels, "haar", tile_n, interpret)
 
 
-def cdf97_multi_level_pallas(x, levels: int = 1, tile_n: int = 8, interpret: bool | None = None):
+def cdf97_multi_level_pallas(
+    x, levels: int = 1, tile_n: int | None = None, interpret: bool | None = None
+):
     return lifting_multi_level_pallas(x, levels, "cdf97", tile_n, interpret)
 
 

@@ -148,3 +148,21 @@ def test_vit_grad_parity_tiny():
     for a, b in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_auto_block_scales_with_sequence_length():
+    """Default batch blocks keep the live f32 (bb, N, N) temporaries under
+    the 12 MB scoped-VMEM budget: the tuned fwd 8 / bwd 4 at the flagship
+    N = 257, shrinking (never OOMing at compile) for longer sequences."""
+    from irw_tpu.ops.vmem_attention import _auto_block
+
+    assert _auto_block(257, live_planes=3, cap=8) == 8
+    assert _auto_block(257, live_planes=5, cap=4) == 4
+    # 336² inputs → N = 577: blocks must shrink to fit
+    assert _auto_block(577, live_planes=3, cap=8) <= 4
+    assert _auto_block(577, live_planes=5, cap=4) <= 2
+    for n in (65, 197, 257, 577, 1025):
+        for planes, cap in ((3, 8), (5, 4)):
+            bb = _auto_block(n, live_planes=planes, cap=cap)
+            assert 1 <= bb <= cap and (bb & (bb - 1)) == 0
+            assert bb * planes * n * n * 4 <= 12 * 1024 * 1024 or bb == 1

@@ -196,6 +196,28 @@ def test_pallas_single_level(rng):
     np.testing.assert_allclose(np.asarray(out[:, 3]), np.asarray(hh), atol=1e-5)
 
 
+def test_pallas_auto_tile_large_plane(rng):
+    """Default tile_n is budget-derived from the plane size so a 224² input
+    fits Mosaic's 16 MB scoped-VMEM stack (observed compile-time OOM at the
+    old fixed tile_n=8: 17.05 MB scoped for f32[·,224,224]).  The auto tile
+    must resolve to ≤2 at 224² and stay 8 at 64², and padding/correctness
+    must hold when the batch does not divide the tile."""
+    import irw_tpu.ops.wavelets.pallas_dwt as pd
+
+    # the tile the auto path picks (mirror of the kernel's formula)
+    def auto_tile(n, h, w, itemsize=4):
+        return max(1, min(n, 8, (12 * 1024 * 1024) // (h * w * itemsize * 24)))
+
+    assert auto_tile(256, 224, 224) <= 2
+    assert auto_tile(256, 64, 64) == 8
+    # correctness through the auto-tile path with a non-dividing batch
+    x = jnp.asarray(rng.randn(5, 224, 224), dtype=jnp.float32)
+    out = pd.lifting_multi_level_pallas(x, levels=1, basis="haar")
+    approx, details = lifting_decompose(x, levels=1, basis="haar")
+    expect = jnp.stack([approx[-1], *details[-1]], axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-4)
+
+
 @pytest.mark.parametrize("levels", [1, 2])
 def test_pallas_cdf97_matches_jnp(levels, rng):
     from irw_tpu.ops.wavelets import cdf97_multi_level_pallas
