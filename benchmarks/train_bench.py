@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build(batch_size: int, frozen: bool, sub_batch=None, flash=False,
           remat_policy=None, fused_qkv=False, split_cls=False,
-          vmem_attn=False):
+          vmem_attn=False, scan_group=1):
     import jax
     import optax
 
@@ -55,6 +55,8 @@ def build(batch_size: int, frozen: bool, sub_batch=None, flash=False,
         vit_kwargs["split_cls"] = True
     if vmem_attn:
         vit_kwargs["vmem_attn"] = True
+    if scan_group and scan_group > 1:
+        vit_kwargs["scan_group"] = scan_group
     model = get_model(
         "multidino_attention_hashing_ortho",
         backbone="dinov2_vits14",
@@ -150,6 +152,9 @@ def main():
     parser.add_argument("--vmem-attn", action="store_true",
                         help="VMEM-resident fused attention kernel "
                              "(ops/vmem_attention.py)")
+    parser.add_argument("--scan-group", type=int, default=1,
+                        help="blocks per remat group (grouped/sqrt remat "
+                             "scan; 1 = per-block, the old layout)")
     parser.add_argument("--iters", type=int, default=10)
     args = parser.parse_args()
 
@@ -166,7 +171,8 @@ def main():
                                         remat_policy=args.remat_policy,
                                         fused_qkv=args.fused_qkv,
                                         split_cls=args.split_cls,
-                                        vmem_attn=args.vmem_attn)
+                                        vmem_attn=args.vmem_attn,
+                                        scan_group=args.scan_group)
     dt, loss0, compile_s = measure(step, state, batch, entries, args.batch,
                                    args.iters)
     ips = args.batch / dt
@@ -186,6 +192,7 @@ def main():
           + (", fused_qkv" if args.fused_qkv else "")
           + (", split_cls" if args.split_cls else "")
           + (", vmem_attn" if args.vmem_attn else "")
+          + (f", scan_group={args.scan_group}" if args.scan_group > 1 else "")
           + f"]: {dt*1000:.1f} ms/step -> {ips:.0f} img/s"
           f" | MFU {mfu*100:.1f}% of {label}"
           f" ({flops_per_img/1e9:.1f} GFLOP/img analytic)"

@@ -426,6 +426,16 @@ class VisionTransformer(nn.Module):
     # remat_blocks: "dots" saves every matmul output (backward recomputes
     # only the cheap elementwise chain — LN/GELU/softmax — instead of the
     # whole block), "nothing" is classic full remat.  None = full remat.
+    scan_group: int = 1  # blocks per remat group (grouped / "sqrt" remat):
+    # the outer scan runs depth/scan_group steps over a group of scan_group
+    # blocks, so the persistent scanned-carry stack shrinks from depth to
+    # depth/scan_group entries — the round-4 post-vmem profile measured that
+    # stack (bf16[12,4,B,257,384], written forward + re-read per layer in
+    # backward) as the dominant copy class.  Cost: backward re-runs each
+    # group's forward once, materialising the k−1 inner carries transiently
+    # instead of persistently.  Param layout becomes (G, k, …) under
+    # blocks/inner/… — ``regroup_block_params`` converts to/from the flat
+    # (depth, …) blocks/… layout for checkpoints and the torch converter.
     use_flash: bool = False  # Pallas flash attention (TPU only)
     fused_qkv: bool = False  # fuse q/k/v into one matmul (same param tree)
     split_cls: bool = False  # lane-aligned CLS-split attention (same param tree)
@@ -481,7 +491,7 @@ class VisionTransformer(nn.Module):
                     toks = Block(**block_kw)(toks, train, dom)
                     return (toks, dom), None
 
-            step_cls = BlockStep
+            remat_wrap = None
             if self.remat_blocks:
                 # save only the carry between blocks; recompute attn/mlp
                 # internals in backward (trades ~⅓ extra FLOPs for ~depth×
@@ -529,13 +539,52 @@ class VisionTransformer(nn.Module):
                     raise ValueError(
                         f"unknown remat_policy {self.remat_policy!r}; "
                         f"one of {sorted(k for k in policies if k)}")
-                step_cls = nn.remat(BlockStep, prevent_cse=False,
-                                    policy=policies[self.remat_policy])
+                remat_wrap = partial(nn.remat, prevent_cse=False,
+                                     policy=policies[self.remat_policy])
+
+            if self.scan_group > 1:
+                if self.depth % self.scan_group:
+                    raise ValueError(
+                        f"scan_group={self.scan_group} must divide "
+                        f"depth={self.depth}")
+                k = self.scan_group
+                # NESTED remat (true "sqrt" schedule): the inner blocks are
+                # remat'd too, so the outer (group) recompute materialises
+                # only the k inter-block carries — not every block internal.
+                # Without the inner remat the group recompute saves all k
+                # blocks' attn/MLP activations for the inner backward, which
+                # measured far WORSE than per-block remat (264 vs 417 img/s
+                # @b48 on v5e — more HBM traffic, not less).
+                inner_cls = remat_wrap(BlockStep) if remat_wrap else BlockStep
+
+                class GroupStep(nn.Module):
+                    """k consecutive blocks as one scan step: the outer remat
+                    boundary saves one persistent carry per GROUP, not per
+                    block — grouped a.k.a. sqrt-remat."""
+
+                    @nn.compact
+                    def __call__(self, carry, _):
+                        inner = nn.scan(
+                            inner_cls,
+                            variable_axes={"params": 0},
+                            split_rngs={"params": True, "dropout": True},
+                            length=k,
+                        )(name="inner")
+                        carry, _ = inner(carry, None)
+                        return carry, None
+
+                step_cls = GroupStep
+                scan_length = self.depth // k
+            else:
+                step_cls = BlockStep
+                scan_length = self.depth
+            if remat_wrap is not None:
+                step_cls = remat_wrap(step_cls)
             stack = nn.scan(
                 step_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                length=self.depth,
+                length=scan_length,
             )(name="blocks")
             (tokens, _), _ = stack((tokens, domain), None)
         else:
@@ -608,3 +657,31 @@ def vit_config(name: str, **kw) -> dict:
 
 def make_vit(name: str, **kw) -> VisionTransformer:
     return VisionTransformer(**vit_config(name, **kw))
+
+
+def regroup_block_params(blocks: dict, scan_group: int) -> dict:
+    """Convert a scanned-ViT ``blocks`` param subtree between the flat layout
+    (``{"Block_0": …}`` with a leading ``depth`` axis) and the grouped layout
+    (``{"inner": {"Block_0": …}}`` with leading ``(depth/k, k)`` axes) that
+    ``scan_group=k`` produces.  Returns the layout matching ``scan_group``;
+    accepts either layout as input.  Flat block ``d`` maps to grouped
+    ``[d // k, d % k]`` (outer scan is the major axis), so checkpoints and
+    converted torch weights move between layouts losslessly."""
+    grouped_in = "inner" in blocks
+    if scan_group <= 1:
+        if not grouped_in:
+            return blocks
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), blocks["inner"])
+    if grouped_in:
+        inner = blocks["inner"]
+        k = jax.tree_util.tree_leaves(inner)[0].shape[1]
+        if k != scan_group:
+            flat = jax.tree_util.tree_map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), inner)
+            return regroup_block_params(flat, scan_group)
+        return blocks
+    return {"inner": jax.tree_util.tree_map(
+        lambda x: x.reshape(
+            (x.shape[0] // scan_group, scan_group) + x.shape[1:]),
+        blocks)}

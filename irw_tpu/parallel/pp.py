@@ -127,6 +127,7 @@ def pp_vit_forward(vit, variables, x, *, mesh: Mesh, n_microbatches: int,
         DomainLayerNorm,
         PatchEmbed,
         block_kwargs,
+        regroup_block_params,
     )
 
     assert vit.scan_blocks, "pipeline parallelism needs the scanned layout"
@@ -146,7 +147,10 @@ def pp_vit_forward(vit, variables, x, *, mesh: Mesh, n_microbatches: int,
     # ---- pipelined block stack (block_kwargs: the same construction the
     # model's own forward uses — new Block flags cannot desync this path)
     block = Block(**block_kwargs(vit))
-    stage_params = split_stages(params["blocks"]["Block_0"], mesh.shape[axis_name])
+    # grouped remat-scan checkpoints (scan_group>1) flatten losslessly to
+    # the per-block stack the stage split consumes
+    blocks_tree = regroup_block_params(params["blocks"], 1)
+    stage_params = split_stages(blocks_tree["Block_0"], mesh.shape[axis_name])
 
     def stage_fn(p_stage, toks):
         def body(toks, p_block):

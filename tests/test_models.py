@@ -421,3 +421,75 @@ def test_vit_attn_probs_remat_policy_same_forward_and_grads():
     with pytest.raises(ValueError, match="unknown remat_policy"):
         VisionTransformer(**kw, remat_policy="dots_nobatch").init(
             jax.random.PRNGKey(0), x, train=False)
+
+
+def test_regroup_block_params_roundtrip():
+    """regroup_block_params is a lossless reshape between the flat
+    (depth, ...) scan layout and the grouped (G, k, ...) layout, with flat
+    block d at grouped [d // k, d % k]."""
+    from irw_tpu.models.vit import regroup_block_params
+
+    depth, k = 6, 3
+    flat = {"Block_0": {"w": np.arange(depth * 4.0).reshape(depth, 4)}}
+    grouped = regroup_block_params(flat, k)
+    assert set(grouped) == {"inner"}
+    g = grouped["inner"]["Block_0"]["w"]
+    assert g.shape == (depth // k, k, 4)
+    np.testing.assert_array_equal(g[1, 2], flat["Block_0"]["w"][5])
+    back = regroup_block_params(grouped, 1)
+    np.testing.assert_array_equal(back["Block_0"]["w"], flat["Block_0"]["w"])
+    # re-grouping to a different k goes through the flat layout
+    re2 = regroup_block_params(grouped, 2)
+    assert re2["inner"]["Block_0"]["w"].shape == (3, 2, 4)
+    np.testing.assert_array_equal(re2["inner"]["Block_0"]["w"][2, 1],
+                                  flat["Block_0"]["w"][5])
+
+
+@pytest.mark.slow
+def test_vit_grouped_remat_scan_matches_flat():
+    """scan_group changes only the remat/scan schedule: with params
+    regrouped between layouts, forward outputs and gradients are identical
+    to the per-block scanned ViT (the grouped/"sqrt" remat of the round-4
+    carry-stack analysis, BASELINE.md)."""
+    from irw_tpu.models.vit import VisionTransformer, regroup_block_params
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3), jnp.float32)
+    kw = dict(embed_dim=32, depth=4, num_heads=2, patch_size=8,
+              scan_blocks=True, remat_blocks=True, remat_policy="nothing")
+    flat = VisionTransformer(**kw)
+    grouped = VisionTransformer(**kw, scan_group=2)
+    variables = flat.init(jax.random.PRNGKey(0), x, train=False)
+    p_flat = variables["params"]
+    p_grp = dict(p_flat)
+    p_grp["blocks"] = regroup_block_params(p_flat["blocks"], 2)
+
+    # the grouped init produces exactly this structure (so checkpoints
+    # restore after regrouping)
+    init_grp = grouped.init(jax.random.PRNGKey(0), x, train=False)["params"]
+    assert (jax.tree_util.tree_structure(init_grp)
+            == jax.tree_util.tree_structure(p_grp))
+    assert all(a.shape == b.shape for a, b in zip(
+        jax.tree_util.tree_leaves(init_grp), jax.tree_util.tree_leaves(p_grp)))
+
+    out_f, _ = flat.apply({"params": p_flat}, x, train=False)
+    out_g, _ = grouped.apply({"params": p_grp}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_g), atol=1e-6)
+
+    def loss(m):
+        def f(p):
+            out, _ = m.apply({"params": p}, x, train=False)
+            return (out ** 2).sum()
+        return f
+
+    g_f = jax.grad(loss(flat))(p_flat)
+    g_g = jax.grad(loss(grouped))(p_grp)
+    g_g_flat = dict(g_g)
+    g_g_flat["blocks"] = regroup_block_params(g_g["blocks"], 1)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_g_flat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # depth not divisible by the group size is a construction-time error
+    with pytest.raises(ValueError):
+        bad = VisionTransformer(**kw, scan_group=3)
+        bad.init(jax.random.PRNGKey(0), x, train=False)

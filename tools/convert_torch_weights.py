@@ -186,15 +186,22 @@ def convert_dinov2(sd: dict) -> dict:
     return {"params": p}
 
 
-def stack_scanned_blocks(params: dict, depth: int) -> dict:
+def stack_scanned_blocks(params: dict, depth: int, scan_group: int = 1) -> dict:
     """Convert unrolled ``Block_{i}`` params to the ``scan_blocks`` layout
-    (one ``blocks`` child with a stacked leading depth axis)."""
+    (one ``blocks`` child with a stacked leading depth axis).  With
+    ``scan_group=k`` the stack is regrouped to the grouped remat-scan layout
+    (``blocks/inner/…`` with leading ``(depth/k, k)`` axes) that
+    ``VisionTransformer(scan_group=k)`` initialises."""
     import jax
 
     blocks = [params.pop(f"Block_{i}") for i in range(depth)]
     # scanned layout (verified against VisionTransformer(scan_blocks=True)
     # init): params["blocks"]["Block_0"][...] with a stacked depth axis
     params["blocks"] = {"Block_0": jax.tree_util.tree_map(lambda *xs: np.stack(xs), *blocks)}
+    if scan_group > 1:
+        from irw_tpu.models.vit import regroup_block_params
+
+        params["blocks"] = regroup_block_params(params["blocks"], scan_group)
     return params
 
 
