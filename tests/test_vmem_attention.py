@@ -166,3 +166,36 @@ def test_auto_block_scales_with_sequence_length():
             bb = _auto_block(n, live_planes=planes, cap=cap)
             assert 1 <= bb <= cap and (bb & (bb - 1)) == 0
             assert bb * planes * n * n * 4 <= 12 * 1024 * 1024 or bb == 1
+
+
+def test_factory_default_gated_on_single_device(monkeypatch):
+    """The unfrozen-TPU vmem_attn default engages ONLY single-device: Mosaic
+    custom calls cannot be auto-partitioned by GSPMD/Shardy (a multi-chip
+    jit+NamedSharding step fails to compile with "wrap the call in a
+    shard_map" — jax/_src/tpu_custom_call.py:339-352), so multi-device
+    builds must default to the stock XLA attention.  Explicit vit_kwargs
+    always win (the expert shard_map-harness override)."""
+    from irw_tpu.models import get_model
+
+    def build(backend, n_dev, **vit_kwargs):
+        monkeypatch.setattr(jax, "default_backend", lambda: backend)
+        monkeypatch.setattr(jax, "device_count", lambda: n_dev)
+        # the class-name dialect (what configs/model/*.yaml use) routes
+        # through factory._pop_common, where the engine defaults live —
+        # the lowercase constructor names are the raw class surface and
+        # get no defaults by design
+        m = get_model(
+            "MultiDinoHashing", nbits=16,
+            backbones_config=[{"name": "dinov2_vits14", "frozen": False}] * 4,
+            vit_kwargs=vit_kwargs or None,
+            fusion_config={"type": "cross_attention_advanced",
+                           "output_dim": 32, "num_queries": 2,
+                           "num_heads": 2, "ortho_weight": 0.01},
+        )
+        return (m.vit_kwargs or {}).get("vmem_attn", False)
+
+    assert build("tpu", 1) is True        # single chip: kernel on
+    assert build("tpu", 8) is False       # pod slice: GSPMD-safe default
+    assert build("cpu", 1) is False       # interpret mode is test-only
+    assert build("tpu", 8, vmem_attn=True) is True   # explicit override
+    assert build("tpu", 1, vmem_attn=False) is False
