@@ -90,22 +90,18 @@ def _pop_common(kw: dict) -> dict:
         # HBM-materialised (N, N) tensors in forward OR backward — the
         # profiled dominant traffic class of the unfrozen step.  Measured
         # 401 img/s / 29.9% MFU at batch 96 vs 279 without (round 4).
-        # Default ONLY when a single device is attached:
-        # - on CPU the kernel runs in interpret mode (numerically verified
-        #   but slow — tests/test_vmem_attention.py), so CPU-mesh runs keep
-        #   the stock XLA attention;
-        # - on multi-chip TPU, Mosaic custom calls CANNOT be automatically
-        #   partitioned by GSPMD/Shardy — the engine's jit+NamedSharding
-        #   step would fail to compile with "Please wrap the call in a
-        #   shard_map" (jax/_src/tpu_custom_call.py:339-352) — so the
-        #   multi-device default is the stock XLA attention, which GSPMD
-        #   shards fine.  Pass vit_kwargs={"vmem_attn": True} explicitly
-        #   to use the kernel under a caller-managed shard_map harness.
+        # Default on any TPU; CPU keeps stock XLA attention (the kernel's
+        # interpret mode is numerically verified but slow —
+        # tests/test_vmem_attention.py).  Multi-chip safety lives in
+        # vmem_attention_fn itself: Mosaic custom calls cannot be
+        # partitioned by GSPMD/Shardy (jax/_src/tpu_custom_call.py:339-352),
+        # so the kernel runs inside a jax.shard_map over the mesh the
+        # engine registers via set_attention_mesh (dp over "data", tp heads
+        # over "model"), and falls back to flax attention when no mesh is
+        # registered, under band parallelism, or when shapes don't divide.
         import jax
 
-        vit_kw.setdefault(
-            "vmem_attn",
-            jax.default_backend() == "tpu" and jax.device_count() == 1)
+        vit_kw.setdefault("vmem_attn", jax.default_backend() == "tpu")
     if vit_kw:
         kw["vit_kwargs"] = vit_kw
     return kw

@@ -41,6 +41,8 @@ torch ``nn.MultiheadAttention`` blocks (SURVEY §3.4) and flax's
 from __future__ import annotations
 
 import functools
+import math
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +52,68 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
+
+
+class AttentionMeshCtx(typing.NamedTuple):
+    """Multi-device execution contract for the kernel (see
+    ``set_attention_mesh``): which mesh axes shard the flattened batch dim
+    and the head dim of the kernel's (B, H, N, hd) layout."""
+
+    mesh: typing.Any                 # jax.sharding.Mesh
+    batch_axes: tuple                # mesh axes sharding the batch dim
+    head_axes: tuple                 # mesh axes sharding the head dim
+    band_fallback: bool              # force the stock-attention fallback
+
+    @property
+    def n_batch_shards(self) -> int:
+        return math.prod(self.mesh.shape[a] for a in self.batch_axes) or 1
+
+    @property
+    def n_head_shards(self) -> int:
+        return math.prod(self.mesh.shape[a] for a in self.head_axes) or 1
+
+
+_MESH_CTX: AttentionMeshCtx | None = None
+
+
+def set_attention_mesh(mesh, batch_axes=("data",), head_axes=(),
+                       band_fallback=False) -> None:
+    """Declare the device mesh the VMEM attention kernel runs under.
+
+    Mosaic custom calls are opaque to GSPMD/Shardy — a multi-device
+    jit+NamedSharding program containing a bare ``pallas_call`` fails to
+    compile with "Please wrap the call in a shard_map"
+    (jax/_src/tpu_custom_call.py:339-352).  The engine therefore registers
+    its mesh here (irw_tpu/engine/train.py), and ``fused_attention`` wraps
+    the kernel in ``jax.shard_map`` over it: the batch dim sharded over
+    ``batch_axes`` (data parallelism), the head dim over ``head_axes``
+    (Megatron tensor parallelism — heads are embarrassingly parallel in
+    attention), N and hd device-local.  ``shard_map`` composes with
+    ``vmap`` (the band-vmapped flagship) and ``jax.checkpoint`` (remat).
+
+    ``band_fallback=True`` forces the stock flax attention instead: under
+    band parallelism the band axis is a *vmapped* dim sharded over "band",
+    and shard_map's batching rule would treat it as replicated — an
+    all-gather of every band's activations per layer.  Stock XLA attention
+    stays band-local there, so it wins.
+
+    The context is read at TRACE time: register the mesh before the first
+    call of any jitted function that reaches the kernel (already-traced
+    programs are not retraced on a context change).  The engine registers
+    it before building its jitted train step.
+    """
+    global _MESH_CTX
+    _MESH_CTX = AttentionMeshCtx(mesh, tuple(batch_axes), tuple(head_axes),
+                                 bool(band_fallback))
+
+
+def clear_attention_mesh() -> None:
+    global _MESH_CTX
+    _MESH_CTX = None
+
+
+def attention_mesh() -> AttentionMeshCtx | None:
+    return _MESH_CTX
 
 
 def _pick_block(b: int, cap: int) -> int:
@@ -214,8 +278,27 @@ def fused_attention(q, k, v, *, scale=None, interpret=None,
     # output or the kernel's DMA; measured in benchmarks/vmem_attn_micro.py)
     qf, kf, vf = (jnp.moveaxis(t.reshape(b, n, h, hd), 1, 2)
                   for t in (q, k, v))
-    out = _core(float(scale), bool(interpret), int(block_b_fwd),
-                int(block_b_bwd), qf, kf, vf)
+    core = functools.partial(_core, float(scale), bool(interpret),
+                             int(block_b_fwd), int(block_b_bwd))
+    ctx = _MESH_CTX
+    if ctx is not None and not ctx.band_fallback:
+        # multi-device: run the Mosaic kernel per-shard under shard_map —
+        # GSPMD/Shardy cannot partition the custom call itself (see
+        # set_attention_mesh).  Per-head attention is embarrassingly
+        # parallel over batch AND heads, so the region needs no collectives.
+        from jax.sharding import PartitionSpec as P
+
+        if b % ctx.n_batch_shards or h % ctx.n_head_shards:
+            raise ValueError(
+                f"fused_attention under mesh {dict(ctx.mesh.shape)}: batch "
+                f"{b} must divide {ctx.batch_axes}={ctx.n_batch_shards} and "
+                f"heads {h} must divide {ctx.head_axes}={ctx.n_head_shards} "
+                "(vmem_attention_fn falls back to flax attention instead)")
+        spec = P(tuple(ctx.batch_axes) or None, tuple(ctx.head_axes) or None,
+                 None, None)
+        core = jax.shard_map(core, mesh=ctx.mesh, in_specs=(spec, spec, spec),
+                             out_specs=spec, check_vma=False)
+    out = core(qf, kf, vf)
     return jnp.moveaxis(out, 1, 2).reshape(*lead, n, h, hd)
 
 
@@ -236,6 +319,23 @@ def vmem_attention_fn(query, key, value, bias=None, mask=None,
         or (dropout_rate > 0.0 and not deterministic)
         or query.shape != key.shape
     )
+    if not needs_fallback:
+        ctx = _MESH_CTX
+        if ctx is None:
+            # multi-device TPU without a registered mesh: GSPMD cannot
+            # partition the Mosaic call (set_attention_mesh docstring) —
+            # a sharded jit would fail to compile, so use flax attention.
+            # The engine registers its mesh; outside it, single-chip keeps
+            # the kernel and multi-chip keeps correctness.
+            needs_fallback = (jax.default_backend() == "tpu"
+                              and jax.device_count() > 1)
+        elif ctx.band_fallback:
+            needs_fallback = True
+        else:
+            *lead, _n, h, _hd = query.shape
+            b = math.prod(lead)
+            needs_fallback = bool(b % ctx.n_batch_shards
+                                  or h % ctx.n_head_shards)
     if needs_fallback:
         from flax.linen.attention import dot_product_attention
 

@@ -168,13 +168,12 @@ def test_auto_block_scales_with_sequence_length():
             assert bb * planes * n * n * 4 <= 12 * 1024 * 1024 or bb == 1
 
 
-def test_factory_default_gated_on_single_device(monkeypatch):
-    """The unfrozen-TPU vmem_attn default engages ONLY single-device: Mosaic
-    custom calls cannot be auto-partitioned by GSPMD/Shardy (a multi-chip
-    jit+NamedSharding step fails to compile with "wrap the call in a
-    shard_map" — jax/_src/tpu_custom_call.py:339-352), so multi-device
-    builds must default to the stock XLA attention.  Explicit vit_kwargs
-    always win (the expert shard_map-harness override)."""
+def test_factory_default_on_tpu(monkeypatch):
+    """The unfrozen vmem_attn default engages on ANY TPU: multi-chip safety
+    is handled inside vmem_attention_fn (shard_map over the engine-
+    registered mesh, flax fallback without one — Mosaic custom calls cannot
+    be auto-partitioned by GSPMD/Shardy, jax/_src/tpu_custom_call.py:
+    339-352).  Explicit vit_kwargs always win."""
     from irw_tpu.models import get_model
 
     def build(backend, n_dev, **vit_kwargs):
@@ -195,7 +194,95 @@ def test_factory_default_gated_on_single_device(monkeypatch):
         return (m.vit_kwargs or {}).get("vmem_attn", False)
 
     assert build("tpu", 1) is True        # single chip: kernel on
-    assert build("tpu", 8) is False       # pod slice: GSPMD-safe default
+    assert build("tpu", 8) is True        # pod slice: shard_map path
     assert build("cpu", 1) is False       # interpret mode is test-only
-    assert build("tpu", 8, vmem_attn=True) is True   # explicit override
+    assert build("cpu", 8, vmem_attn=True) is True   # explicit override
     assert build("tpu", 1, vmem_attn=False) is False
+
+
+@pytest.fixture
+def attention_mesh_ctx():
+    """Register a (data × model) mesh for the kernel; always clear after."""
+    from jax.sharding import Mesh
+
+    from irw_tpu.ops import vmem_attention as va
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    yield mesh, va
+    va.clear_attention_mesh()
+
+
+def test_sharded_kernel_parity(attention_mesh_ctx):
+    """Under a registered mesh the kernel runs inside jax.shard_map —
+    forward AND custom-VJP gradients must match the reference einsum with
+    the batch dim sharded over "data" and heads over "model" (Megatron tp:
+    per-head attention is embarrassingly parallel)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh, va = attention_mesh_ctx
+    va.set_attention_mesh(mesh, batch_axes=("data",), head_axes=("model",))
+    rng = np.random.RandomState(0)
+    shape = (8, 19, 4, 8)  # batch 8 % data=4 == 0, heads 4 % model=2 == 0
+    q, k, v = (jnp.asarray(rng.randn(*shape), jnp.float32) for _ in range(3))
+    sh = NamedSharding(mesh, P("data"))
+
+    out = jax.jit(fused_attention, in_shardings=(sh, sh, sh))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref_attention(q, k, v)),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref_attention(q, k, v) ** 2)
+
+    got = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)),
+                  in_shardings=(sh, sh, sh))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_sharded_kernel_vmap_band_dim(attention_mesh_ctx):
+    """shard_map composes with vmap (the band-vmapped flagship): the band
+    dim rides shard_map's batching rule while batch stays sharded."""
+    mesh, va = attention_mesh_ctx
+    va.set_attention_mesh(mesh, batch_axes=("data",), head_axes=())
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 8, 9, 2, 8), jnp.float32)  # (band, B, N, H, hd)
+    got = jax.jit(jax.vmap(lambda t: fused_attention(t, t, t)))(x)
+    want = jax.vmap(lambda t: _ref_attention(t, t, t))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_mesh_context_fallbacks(attention_mesh_ctx):
+    """vmem_attention_fn must fall back to flax attention (not crash) when
+    the registered mesh can't take the kernel: non-divisible batch/heads,
+    or band_fallback (band-parallel runs keep stock XLA attention)."""
+    from flax.linen.attention import dot_product_attention
+
+    mesh, va = attention_mesh_ctx
+    rng = np.random.RandomState(2)
+
+    va.set_attention_mesh(mesh, batch_axes=("data",), head_axes=("model",))
+    bad = jnp.asarray(rng.randn(3, 9, 2, 8), jnp.float32)  # 3 % 4 != 0
+    np.testing.assert_allclose(
+        np.asarray(vmem_attention_fn(bad, bad, bad)),
+        np.asarray(dot_product_attention(bad, bad, bad)), atol=1e-6)
+    oddh = jnp.asarray(rng.randn(8, 9, 3, 8), jnp.float32)  # 3 heads % 2 != 0
+    np.testing.assert_allclose(
+        np.asarray(vmem_attention_fn(oddh, oddh, oddh)),
+        np.asarray(dot_product_attention(oddh, oddh, oddh)), atol=1e-6)
+
+    va.set_attention_mesh(mesh, band_fallback=True)
+    ok = jnp.asarray(rng.randn(8, 9, 2, 8), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(vmem_attention_fn(ok, ok, ok)),
+        np.asarray(dot_product_attention(ok, ok, ok)), atol=1e-6)
+
+    # fused_attention called directly (not via the fn) raises loudly instead
+    va.set_attention_mesh(mesh, batch_axes=("data",), head_axes=("model",))
+    with pytest.raises(ValueError, match="must divide"):
+        fused_attention(bad, bad, bad)
