@@ -494,4 +494,11 @@ def train(
 
     # commit the final rolling save AND promote rolling.next -> rolling
     finalize_checkpoints(log_dir)
+    # un-register the process-global attention mesh: offline eval / a second
+    # experiment in this process must not stay pinned to THIS run's mesh
+    # (the kernel raises on shapes that don't divide a stale mesh)
+    if mesh is not None:
+        from irw_tpu.ops.vmem_attention import clear_attention_mesh
+
+        clear_attention_mesh()
     return state, metrics_by_split

@@ -39,3 +39,17 @@ def devices():
 @pytest.fixture()
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_attention_mesh():
+    """The VMEM attention kernel's registered mesh is process-global state
+    (ops/vmem_attention.set_attention_mesh, registered by the engine train
+    loop).  A test that trains over a mesh must not leak that registration
+    into later tests — the kernel raises on shapes that don't divide a
+    stale mesh (observed: engine sharding tests poisoning the pure-kernel
+    parity tests)."""
+    yield
+    from irw_tpu.ops.vmem_attention import clear_attention_mesh
+
+    clear_attention_mesh()

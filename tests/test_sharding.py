@@ -165,16 +165,30 @@ def test_train_loop_registers_attention_mesh_and_runs_vmem_attn(
                              "num_workers": 0, "distance_metric": "hamming",
                              "use_mesh": True, "seed": 0}}
     va.clear_attention_mesh()
+    # spy on the registration: run_training registers the mesh for the
+    # duration of the run and un-registers it on exit (a later offline eval
+    # or second experiment must not inherit a stale mesh)
+    registered = []
+    orig_set = va.set_attention_mesh
+
+    def spy_set(mesh, **kw):
+        registered.append((dict(mesh.shape), kw))
+        return orig_set(mesh, **kw)
+
+    va.set_attention_mesh = spy_set
     try:
         state, metrics = train(model, state, losses, entries, optax.adamw(1e-3),
                                dataset, sampler, {"test": dataset}, host_t,
                                device_t, config, str(tmp_path))
-        ctx = va.attention_mesh()
-        assert ctx is not None and ctx.batch_axes == ("data",)
-        assert not ctx.band_fallback and ctx.mesh.shape["data"] == 8
+        assert registered, "engine never registered the attention mesh"
+        shape, kw = registered[0]
+        assert shape == {"data": 8} and kw.get("batch_axes") == ("data",)
+        assert not kw.get("band_fallback")
+        assert va.attention_mesh() is None, "mesh must be cleared after the run"
         assert "map_level0" in metrics["test"]
         assert np.isfinite(metrics["test"]["map_level0"])
     finally:
+        va.set_attention_mesh = orig_set
         va.clear_attention_mesh()
 
 
