@@ -276,228 +276,231 @@ def train(
             head_axes=("model",) if mp > 1 else (),
             band_fallback=(bp > 1 or pp > 1),
         )
-    adaptive = bool(exp.get("adaptive_weights", False)) or any(
-        entry.get("weight") == "adaptative" for entry in (config.get("loss") or [])
-    )
-
-    def make_step(xbm_active: bool):
-        step_fn = build_train_step(
-            model,
-            losses,
-            optimizer_entries,
-            loss_tx,
-            xbm=xbm,
-            device_transform=device_transform,
-            clip_grad=clip_grad,
-            sub_batch=sub_batch,
-            proxy_map_metric="hamming" if distance_metric == "hamming" else "cosine",
-            frozen_collections=frozen,
-            xbm_active=xbm_active,
-            adaptive_weights=adaptive,
-            adaptive_head_key=exp.get("adaptive_head_key", "HashHead"),
-            apply_fn=pp_apply,
-        )
-        return jax.jit(step_fn, donate_argnums=(0,))
-
-    xbm_activate_after = getattr(xbm, "activate_after", 0) if xbm is not None else 0
-    jitted = {}
-
-    def eval_variables(current):
-        variables = {"params": current.params}
-        if current.batch_stats:
-            variables["batch_stats"] = current.batch_stats
-        return variables
-
-    def apply_eval(variables, x):
-        return model.apply(variables, x, train=False)
-
-    run_eval = eval_fn or (
-        lambda current, datasets: evaluate(
-            apply_eval,
-            eval_variables(current),
-            datasets,
-            host_transform,
-            device_transform,
-            batch_size=eval_bs,
-            num_workers=num_workers,
-            top_k=top_k,
-            distance_metric=distance_metric,
-        )
-    )
-
-    fast_subset = None
-    if fast_eval:
-        fast_subset = build_fast_eval_subset(train_dataset, per_class=5)
-
-    best_score = -float("inf")
-    metrics_by_split: dict[str, dict] = {}
-    start_epoch = int(jax.device_get(state.epoch))
-    # host-side mirror of state.step: fetching it from the device every
-    # batch would block on the previous step and serialize async dispatch
-    global_step = int(jax.device_get(state.step))
-
-    for epoch in range(start_epoch + 1, max_iter + 1):
-        t0 = time.time()
-        # reference hook timing (base_update.py:409-414): crit.epoch_step()
-        # and net.epoch_step(e) fire at the END of epoch e, so epoch E runs
-        # with E-1 accumulated schedule steps and α = f(E-1) (epoch 1 runs
-        # the init values: QuantizationLoss weight 0, tanh α = 1.0).
-        # Applying the update at the START of every epoch EXCEPT the first
-        # is the same sequence, but survives checkpoint-resume (the saved
-        # loss_states already carry their end-of-epoch updates).
-        if epoch > 1:
-            state = _apply_loss_epoch_updates(losses, state)
-        state = state.replace(
-            epoch=jnp.int32(epoch),
-            model_alpha=jnp.float32(_alpha_schedule(epoch - 1, exp)),
+    try:
+        adaptive = bool(exp.get("adaptive_weights", False)) or any(
+            entry.get("weight") == "adaptative" for entry in (config.get("loss") or [])
         )
 
-        sampler.reshuffle(epoch)
-        batches = sampler.batches
-        if step_per_epoch:
-            # exactly N batches.  Deliberate divergence: the reference's
-            # `if i > step_per_epoch: break` (base_update.py:344-345)
-            # processes indices 0..N inclusive = N+1 batches — an
-            # off-by-one artifact, not replicated (like the ll_only
-            # NameError and the maphashing dead accumulator)
-            batches = batches[:step_per_epoch]
-        loader = EpochLoader(
-            train_dataset,
-            batches,
-            host_transform,
-            num_workers=num_workers,
-            train=True,
-            seed=exp.get("seed", 0) + epoch,
+        def make_step(xbm_active: bool):
+            step_fn = build_train_step(
+                model,
+                losses,
+                optimizer_entries,
+                loss_tx,
+                xbm=xbm,
+                device_transform=device_transform,
+                clip_grad=clip_grad,
+                sub_batch=sub_batch,
+                proxy_map_metric="hamming" if distance_metric == "hamming" else "cosine",
+                frozen_collections=frozen,
+                xbm_active=xbm_active,
+                adaptive_weights=adaptive,
+                adaptive_head_key=exp.get("adaptive_head_key", "HashHead"),
+                apply_fn=pp_apply,
+            )
+            return jax.jit(step_fn, donate_argnums=(0,))
+
+        xbm_activate_after = getattr(xbm, "activate_after", 0) if xbm is not None else 0
+        jitted = {}
+
+        def eval_variables(current):
+            variables = {"params": current.params}
+            if current.batch_stats:
+                variables["batch_stats"] = current.batch_stats
+            return variables
+
+        def apply_eval(variables, x):
+            return model.apply(variables, x, train=False)
+
+        run_eval = eval_fn or (
+            lambda current, datasets: evaluate(
+                apply_eval,
+                eval_variables(current),
+                datasets,
+                host_transform,
+                device_transform,
+                batch_size=eval_bs,
+                num_workers=num_workers,
+                top_k=top_k,
+                distance_metric=distance_metric,
+            )
         )
 
-        # reference gate is INCLUSIVE: `epoch >= config.memory.activate_after`
-        # (base_update.py:77,89,96); inserts happen every epoch regardless
-        xbm_on = xbm is not None and epoch >= xbm_activate_after
-        if xbm_on not in jitted:
-            jitted[xbm_on] = make_step(xbm_on)
-        step_fn = jitted[xbm_on]
+        fast_subset = None
+        if fast_eval:
+            fast_subset = build_fast_eval_subset(train_dataset, per_class=5)
 
-        # TPU profiler trace for one epoch on demand (the reference only had
-        # wall-clock phase timing, train.py:199-208; this gives real traces)
-        profiling = profile_epoch is not None and epoch == profile_epoch
-        if profiling:
-            jax.profiler.start_trace(os.path.join(log_dir, "profile"))
+        best_score = -float("inf")
+        metrics_by_split: dict[str, dict] = {}
+        start_epoch = int(jax.device_get(state.epoch))
+        # host-side mirror of state.step: fetching it from the device every
+        # batch would block on the previous step and serialize async dispatch
+        global_step = int(jax.device_get(state.step))
 
-        meters = DictAverage()
-        data_time = step_time = 0.0  # phase timing (reference train.py:199-208)
-        # Device-side metric accumulation: fetching each step's metrics
-        # costs one host↔device roundtrip per step, which on a
-        # high-latency link (the axon tunnel) dominates the step itself
-        # (measured 0.77 s/step wall vs 0.35 s device).  Instead the scalar
-        # metrics are summed on device with tiny async adds and fetched
-        # ONCE per epoch — dispatch never blocks on the tunnel.
-        metric_sums = None
-        n_metric_steps = 0
-        t_mark = time.time()
-        for batch in loader:
-            data_time += time.time() - t_mark
-            if instrumentor is not None:
-                instrumentor.snapshot_batch(batch)
-            hyper = _build_hyper(optimizer_entries, epoch, global_step,
-                                 warm_up, warm_up_key,
-                                 ortho_scale=exp.get("ortho_scale"))
-            global_step += 1
-            if mesh is not None:
-                from irw_tpu.parallel import shard_train_batch
-
-                batch = shard_train_batch(batch, mesh)
-                hyper = jax.device_put(hyper, repl)
-            t_step = time.time()
-            state, metrics = step_fn(state, batch, hyper)
-            metric_sums = (metrics if metric_sums is None else
-                           jax.tree_util.tree_map(jnp.add, metric_sums, metrics))
-            n_metric_steps += 1
-            step_time += time.time() - t_step
-            t_mark = time.time()
-        if metric_sums is not None:
-            fetched = jax.device_get(metric_sums)
-            meters.update({k: float(v) / n_metric_steps
-                           for k, v in fetched.items()})
-
-        if profiling:
-            jax.block_until_ready(state.params)
-            jax.profiler.stop_trace()
-            LOGGER.info(f"profiler trace written to {os.path.join(log_dir, 'profile')}")
-
-        epoch_metrics = meters.avg
-        lr_now = optimizer_entries[0].group_lrs(epoch, global_step)
-        epoch_metrics["lr"] = next(iter(lr_now.values()))
-        epoch_metrics["data_seconds"] = data_time
-        epoch_metrics["step_seconds"] = step_time
-        logger.log(epoch, epoch_metrics, prefix="train/")
-        LOGGER.info(
-            f"epoch {epoch}/{max_iter} "
-            f"loss={epoch_metrics.get('total_loss', float('nan')):.4f} "
-            f"batch_map={epoch_metrics.get('batch_map', 0.0):.4f} "
-            f"[{format_time(time.time() - t0)} | data {data_time:.1f}s step {step_time:.1f}s]"
-        )
-
-        if instrumentor is not None:
-            # train_new's fixed-batch replay dumps (train_new.py:88-131)
-            instrumentor.maybe_dump(epoch, eval_variables(state), device_transform)
-
-        score = None
-        evaluated = []
-        for split, datasets in eval_datasets.items():
-            if not _should_eval(_split_eval_freq(split), epoch):
-                continue
-            results = run_eval(state, datasets)
-            metrics_by_split[split] = results
-            evaluated.append(split)
-            logger.log(epoch, results, prefix=f"{split}/")
-            LOGGER.info(f"  eval[{split}]: " + ", ".join(
-                f"{k}={v:.4f}" for k, v in sorted(results.items())
-                if isinstance(v, float) and "recall" not in k
-            ))
-        if eval_split in evaluated:
-            split_metrics = metrics_by_split.get(eval_split, {})
-            score = split_metrics.get(principal_metric)
-            for entry in optimizer_entries:
-                if entry.plateau is not None:
-                    # each plateau scheduler tracks ITS configured key
-                    # (reference train.py:179-180 sch.step(metrics[split][key]))
-                    tracked = split_metrics.get(
-                        getattr(entry.plateau, "key", None) or principal_metric,
-                        score,
-                    )
-                    if tracked is not None:
-                        entry.plateau.update(tracked)
-            if score is not None and score > best_score:
-                best_score = score
-        if not evaluated and fast_subset is not None:
-            results = run_eval(state, fast_subset)
-            logger.log(epoch, results, prefix="fast_eval/")
-
-        # ``checkpoint_freq``: rolling-save cadence (default 1 = the
-        # reference's every-epoch rolling.ckpt, chepoint.py:57).  The save
-        # synchronously fetches the full ~1 GB train state device→host —
-        # ~60 s over the axon dev tunnel — so long studies on the dev
-        # tunnel set 5 (aligned with eval_freq); the final epoch always
-        # saves so finished-run guards see max_iter.
-        ckpt_freq = max(int(exp.get("checkpoint_freq", 1) or 1), 1)
-        if epoch % ckpt_freq == 0 or epoch == max_iter:
-            save_checkpoint(
-                log_dir,
-                state,
-                config if isinstance(config, dict) else dict(config),
-                epoch,
-                score=score,
-                best_score=best_score if best_score > -float("inf") else None,
-                save_model_every=save_model_every,
-                async_save=bool(exp.get("async_checkpoint", True)),
+        for epoch in range(start_epoch + 1, max_iter + 1):
+            t0 = time.time()
+            # reference hook timing (base_update.py:409-414): crit.epoch_step()
+            # and net.epoch_step(e) fire at the END of epoch e, so epoch E runs
+            # with E-1 accumulated schedule steps and α = f(E-1) (epoch 1 runs
+            # the init values: QuantizationLoss weight 0, tanh α = 1.0).
+            # Applying the update at the START of every epoch EXCEPT the first
+            # is the same sequence, but survives checkpoint-resume (the saved
+            # loss_states already carry their end-of-epoch updates).
+            if epoch > 1:
+                state = _apply_loss_epoch_updates(losses, state)
+            state = state.replace(
+                epoch=jnp.int32(epoch),
+                model_alpha=jnp.float32(_alpha_schedule(epoch - 1, exp)),
             )
 
-    # commit the final rolling save AND promote rolling.next -> rolling
-    finalize_checkpoints(log_dir)
-    # un-register the process-global attention mesh: offline eval / a second
-    # experiment in this process must not stay pinned to THIS run's mesh
-    # (the kernel raises on shapes that don't divide a stale mesh)
-    if mesh is not None:
+            sampler.reshuffle(epoch)
+            batches = sampler.batches
+            if step_per_epoch:
+                # exactly N batches.  Deliberate divergence: the reference's
+                # `if i > step_per_epoch: break` (base_update.py:344-345)
+                # processes indices 0..N inclusive = N+1 batches — an
+                # off-by-one artifact, not replicated (like the ll_only
+                # NameError and the maphashing dead accumulator)
+                batches = batches[:step_per_epoch]
+            loader = EpochLoader(
+                train_dataset,
+                batches,
+                host_transform,
+                num_workers=num_workers,
+                train=True,
+                seed=exp.get("seed", 0) + epoch,
+            )
+
+            # reference gate is INCLUSIVE: `epoch >= config.memory.activate_after`
+            # (base_update.py:77,89,96); inserts happen every epoch regardless
+            xbm_on = xbm is not None and epoch >= xbm_activate_after
+            if xbm_on not in jitted:
+                jitted[xbm_on] = make_step(xbm_on)
+            step_fn = jitted[xbm_on]
+
+            # TPU profiler trace for one epoch on demand (the reference only had
+            # wall-clock phase timing, train.py:199-208; this gives real traces)
+            profiling = profile_epoch is not None and epoch == profile_epoch
+            if profiling:
+                jax.profiler.start_trace(os.path.join(log_dir, "profile"))
+
+            meters = DictAverage()
+            data_time = step_time = 0.0  # phase timing (reference train.py:199-208)
+            # Device-side metric accumulation: fetching each step's metrics
+            # costs one host↔device roundtrip per step, which on a
+            # high-latency link (the axon tunnel) dominates the step itself
+            # (measured 0.77 s/step wall vs 0.35 s device).  Instead the scalar
+            # metrics are summed on device with tiny async adds and fetched
+            # ONCE per epoch — dispatch never blocks on the tunnel.
+            metric_sums = None
+            n_metric_steps = 0
+            t_mark = time.time()
+            for batch in loader:
+                data_time += time.time() - t_mark
+                if instrumentor is not None:
+                    instrumentor.snapshot_batch(batch)
+                hyper = _build_hyper(optimizer_entries, epoch, global_step,
+                                     warm_up, warm_up_key,
+                                     ortho_scale=exp.get("ortho_scale"))
+                global_step += 1
+                if mesh is not None:
+                    from irw_tpu.parallel import shard_train_batch
+
+                    batch = shard_train_batch(batch, mesh)
+                    hyper = jax.device_put(hyper, repl)
+                t_step = time.time()
+                state, metrics = step_fn(state, batch, hyper)
+                metric_sums = (metrics if metric_sums is None else
+                               jax.tree_util.tree_map(jnp.add, metric_sums, metrics))
+                n_metric_steps += 1
+                step_time += time.time() - t_step
+                t_mark = time.time()
+            if metric_sums is not None:
+                fetched = jax.device_get(metric_sums)
+                meters.update({k: float(v) / n_metric_steps
+                               for k, v in fetched.items()})
+
+            if profiling:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                LOGGER.info(f"profiler trace written to {os.path.join(log_dir, 'profile')}")
+
+            epoch_metrics = meters.avg
+            lr_now = optimizer_entries[0].group_lrs(epoch, global_step)
+            epoch_metrics["lr"] = next(iter(lr_now.values()))
+            epoch_metrics["data_seconds"] = data_time
+            epoch_metrics["step_seconds"] = step_time
+            logger.log(epoch, epoch_metrics, prefix="train/")
+            LOGGER.info(
+                f"epoch {epoch}/{max_iter} "
+                f"loss={epoch_metrics.get('total_loss', float('nan')):.4f} "
+                f"batch_map={epoch_metrics.get('batch_map', 0.0):.4f} "
+                f"[{format_time(time.time() - t0)} | data {data_time:.1f}s step {step_time:.1f}s]"
+            )
+
+            if instrumentor is not None:
+                # train_new's fixed-batch replay dumps (train_new.py:88-131)
+                instrumentor.maybe_dump(epoch, eval_variables(state), device_transform)
+
+            score = None
+            evaluated = []
+            for split, datasets in eval_datasets.items():
+                if not _should_eval(_split_eval_freq(split), epoch):
+                    continue
+                results = run_eval(state, datasets)
+                metrics_by_split[split] = results
+                evaluated.append(split)
+                logger.log(epoch, results, prefix=f"{split}/")
+                LOGGER.info(f"  eval[{split}]: " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in sorted(results.items())
+                    if isinstance(v, float) and "recall" not in k
+                ))
+            if eval_split in evaluated:
+                split_metrics = metrics_by_split.get(eval_split, {})
+                score = split_metrics.get(principal_metric)
+                for entry in optimizer_entries:
+                    if entry.plateau is not None:
+                        # each plateau scheduler tracks ITS configured key
+                        # (reference train.py:179-180 sch.step(metrics[split][key]))
+                        tracked = split_metrics.get(
+                            getattr(entry.plateau, "key", None) or principal_metric,
+                            score,
+                        )
+                        if tracked is not None:
+                            entry.plateau.update(tracked)
+                if score is not None and score > best_score:
+                    best_score = score
+            if not evaluated and fast_subset is not None:
+                results = run_eval(state, fast_subset)
+                logger.log(epoch, results, prefix="fast_eval/")
+
+            # ``checkpoint_freq``: rolling-save cadence (default 1 = the
+            # reference's every-epoch rolling.ckpt, chepoint.py:57).  The save
+            # synchronously fetches the full ~1 GB train state device→host —
+            # ~60 s over the axon dev tunnel — so long studies on the dev
+            # tunnel set 5 (aligned with eval_freq); the final epoch always
+            # saves so finished-run guards see max_iter.
+            ckpt_freq = max(int(exp.get("checkpoint_freq", 1) or 1), 1)
+            if epoch % ckpt_freq == 0 or epoch == max_iter:
+                save_checkpoint(
+                    log_dir,
+                    state,
+                    config if isinstance(config, dict) else dict(config),
+                    epoch,
+                    score=score,
+                    best_score=best_score if best_score > -float("inf") else None,
+                    save_model_every=save_model_every,
+                    async_save=bool(exp.get("async_checkpoint", True)),
+                )
+
+        # commit the final rolling save AND promote rolling.next -> rolling
+        finalize_checkpoints(log_dir)
+    finally:
+        # un-register the process-global attention mesh on EVERY exit
+        # path (failed step, eval/checkpoint error, KeyboardInterrupt —
+        # not just the clean return): offline eval / a second experiment
+        # in this process must not stay pinned to THIS run's mesh (the
+        # kernel raises on shapes that don't divide a stale mesh)
         from irw_tpu.ops.vmem_attention import clear_attention_mesh
 
         clear_attention_mesh()

@@ -192,6 +192,71 @@ def test_train_loop_registers_attention_mesh_and_runs_vmem_attn(
         va.clear_attention_mesh()
 
 
+def test_train_loop_clears_attention_mesh_on_exception(devices, tmp_path, rng):
+    """The mesh un-registration is a try/finally invariant, not a
+    clean-return courtesy: a run that dies mid-epoch (failed step, eval
+    error, KeyboardInterrupt) must still leave the process-global
+    attention mesh cleared for library callers that catch and continue
+    in-process (advisor r4 finding, engine/train.py)."""
+    import optax
+
+    from irw_tpu.data import SyntheticDataset
+    from irw_tpu.engine.optimizers import build_optimizers
+    from irw_tpu.engine.train import train
+    from irw_tpu.getter import Getter, init_train_state
+    from irw_tpu.losses import build_losses
+    from irw_tpu.models import get_model
+    from irw_tpu.ops import vmem_attention as va
+    from irw_tpu.samplers import RandomSampler
+
+    dataset = SyntheticDataset(num_samples=32, num_classes=4, image_size=32, seed=0)
+    (host_t, device_t), _ = Getter().get_transform(
+        {"train": {"Resize": {"size": 32}, "CustomTransform": {"decompose_levels": 1}},
+         "test": {"Resize": {"size": 32}, "CustomTransform": {"decompose_levels": 1}}}
+    )
+    model = get_model("single_band_net", backbone="vit_tiny", nbits=8,
+                      frozen_backbone=False)
+    losses = build_losses([{"name": "HashLoss", "weight": 1.0,
+                            "kwargs": {"num_classes": 4, "embedding_size": 8}}])
+    sampler = RandomSampler(dataset, batch_size=16, seed=0)
+    sampler.reshuffle(0)
+    np_rng = np.random.RandomState(0)
+    idx = sampler.batches[0]
+    batch = {"image": np.stack([host_t(dataset.load_image(int(i)), np_rng, True) for i in idx]),
+             "label": dataset.labels[idx], "index": np.asarray(idx)}
+    x = device_t(batch["image"])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)}, x, train=True)
+    entries = build_optimizers([{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}],
+                               variables["params"])
+    state = init_train_state(model, losses, entries, optax.adamw(1e-3), batch,
+                             device_transform=device_t)
+    config = {"experience": {"max_iter": 1, "train_eval_freq": 1, "eval_bs": 32,
+                             "num_workers": 0, "distance_metric": "hamming",
+                             "use_mesh": True, "seed": 0}}
+
+    class Boom(RuntimeError):
+        pass
+
+    class ExplodingInstrumentor:
+        # fires at the FIRST train batch — after the mesh registration,
+        # before the step even compiles (cheapest in-body failure point)
+        def snapshot_batch(self, batch):
+            raise Boom("mid-epoch failure")
+
+    va.clear_attention_mesh()
+    try:
+        with pytest.raises(Boom):
+            train(model, state, losses, entries, optax.adamw(1e-3),
+                  dataset, sampler, {"test": dataset}, host_t, device_t,
+                  config, str(tmp_path), instrumentor=ExplodingInstrumentor())
+        assert va.attention_mesh() is None, \
+            "mesh must be cleared even when the run dies mid-epoch"
+    finally:
+        va.clear_attention_mesh()
+
+
 def test_engine_evaluate_gallery_sharded_matches_single_device(devices, rng):
     """The ENGINE eval path (evaluate._metric_suite) now rides the mesh when
     >1 device is live: its result must equal the explicit single-device

@@ -12,6 +12,14 @@ Usage::
     PYTHONPATH=/root/repo/tools/cpusite python single_experiment_runner.py ...
 
 Optional: ``IRW_CPU_DEVICES=8`` for a virtual multi-device CPU mesh.
+
+HARD OVERRIDE, by design: this shim unconditionally sets
+``JAX_PLATFORMS=cpu`` and fully shadows the axon sitecustomize (whatever
+else that module configures is dropped).  Mixed-platform runs (e.g.
+``JAX_PLATFORMS=cpu,axon``) are impossible through this path — that is
+the point: the only job of this shim is to guarantee a run can NEVER
+touch the single-owner TPU.  For anything that should see the chip, do
+not use this shim.
 """
 
 import os
