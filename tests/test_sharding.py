@@ -680,6 +680,84 @@ def test_fsdp_step_matches_data_parallel(devices, rng):
         assert local.size == leaf.size // 8
 
 
+def test_xbm_memory_mixing_sharded_matches_single_device(devices, rng):
+    """XBM memory-mixing with a ref-aware loss ON THE MESH equals the
+    single-device step: the data-sharded batch is inserted into the
+    (replicated) ring memory inside the jitted step and PairLoss forms
+    batch×memory pairs against it (reference base_update.py:75-113,
+    memory.py:51-60).  Asserts the memory term is LIVE (non-zero part
+    feeding total_loss) and that loss, memory part, updated params and
+    updated XBM contents all match the unsharded step."""
+    import optax
+
+    import __graft_entry__ as g
+    from irw_tpu.engine.optimizers import build_optimizers
+    from irw_tpu.engine.train import _build_hyper
+    from irw_tpu.engine.train_step import build_train_step
+    from irw_tpu.engine.xbm import XBM
+    from irw_tpu.getter import init_train_state
+    from irw_tpu.losses import build_losses
+
+    model = g._flagship("vit_tiny", nbits=16, embed_dim=64, num_heads=2)
+    losses = build_losses(
+        [{"name": "HashLoss", "weight": 1.0,
+          "kwargs": {"num_classes": 4, "embedding_size": 16}},
+         {"name": "PairLoss", "weight": 0.5, "kwargs": {"margin": 0.5}}])
+    loss_tx = optax.adamw(1e-3)
+    xbm = XBM(size=32, embedding_dim=16, unique=False, weight=0.5)
+    bs = 8
+    batch = {"image": rng.rand(bs, 4, 32, 32, 3).astype(np.float32),
+             "label": np.arange(bs) % 4, "index": np.arange(bs)}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "band_drop": jax.random.PRNGKey(2)},
+        jnp.asarray(batch["image"]), train=True)
+    entries = build_optimizers(
+        [{"name": "AdamW", "params": None, "kwargs": {"lr": 1e-3}}],
+        variables["params"])
+    state = init_train_state(model, losses, entries, loss_tx, batch, seed=0,
+                             xbm=xbm)
+    step = build_train_step(model, losses, entries, loss_tx, xbm=xbm,
+                            xbm_active=True, clip_grad=5.0)
+    hyper = _build_hyper(entries, epoch=1, step=0, warm_up=0, warm_up_key=None)
+    mesh = make_mesh(jax.devices())
+
+    def run(sharded: bool, n_steps: int = 2):
+        if sharded:
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            jitted = jax.jit(step, in_shardings=(repl, data, repl),
+                             out_shardings=(repl, repl))
+            st = jax.device_put(state, repl)
+            b = {k: jax.device_put(np.asarray(v), data) for k, v in batch.items()}
+            hy = jax.device_put(hyper, repl)
+        else:
+            jitted = jax.jit(step)
+            st, b, hy = state, dict(batch), hyper
+        metrics = None
+        for _ in range(n_steps):  # step 2 mixes step-1 memory contents
+            st, metrics = jitted(st, b, hy)
+        return st, {k: float(v) for k, v in metrics.items()}
+
+    s1, m1 = run(sharded=False)
+    s8, m8 = run(sharded=True)
+    # the memory term must be live, not inert
+    assert m8["loss_1_memory_PairLoss"] != 0.0, m8
+    assert np.isfinite(m8["loss_1_memory_PairLoss"])
+    for key in ("total_loss", "loss_1_memory_PairLoss", "loss_1_PairLoss"):
+        assert abs(m1[key] - m8[key]) < 1e-4, (key, m1[key], m8[key])
+    # inserted memory contents identical slots/order: GSPMD preserves
+    # logical row order (atol covers step-1 param-update reduction-order
+    # noise feeding the step-2 embeddings, observed ~4e-5)
+    np.testing.assert_allclose(np.asarray(s1.xbm.embeddings),
+                               np.asarray(s8.xbm.embeddings), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(s1.xbm.valid),
+                                  np.asarray(s8.xbm.valid))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s1.params, s8.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
+
+
 def test_fsdp_composes_with_tp_specs(devices):
     """fsdp(base=tp): tensor-sharded kernels keep their model-axis dim and
     gain a data-axis dim on another axis; replicated small leaves stay P()."""
