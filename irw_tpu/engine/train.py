@@ -264,17 +264,18 @@ def train(
         # register the mesh for the VMEM attention kernel: Mosaic custom
         # calls cannot be partitioned by GSPMD/Shardy, so the kernel runs
         # inside a jax.shard_map over this mesh (batch over "data", heads
-        # over "model" under tensor parallelism).  Band parallelism and
-        # pipeline stages keep the stock XLA attention instead — band is a
-        # vmapped dim shard_map's batching rule would all-gather, and pp
-        # slices the block stack itself (ops/vmem_attention.py docstrings).
+        # over "model" under tensor parallelism, and the vmapped band dim
+        # over "band" via nn.vmap(spmd_axis_name) in BandedViT).  Pipeline
+        # stages keep the stock XLA attention — pp slices the block stack
+        # itself (ops/vmem_attention.py docstrings).
         from irw_tpu.ops.vmem_attention import set_attention_mesh
 
         set_attention_mesh(
             mesh,
             batch_axes=("data",),
             head_axes=("model",) if mp > 1 else (),
-            band_fallback=(bp > 1 or pp > 1),
+            band_axes=("band",) if bp > 1 else (),
+            band_fallback=(pp > 1),
         )
     try:
         adaptive = bool(exp.get("adaptive_weights", False)) or any(

@@ -46,16 +46,46 @@ class BandedViT(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        vmapped_cls = nn.vmap(
-            VisionTransformer,
-            in_axes=(1, None),
-            out_axes=0,
-            variable_axes={"params": 0, "batch_stats": 0, "intermediates": 0},
-            split_rngs={"params": True, "dropout": True},
-        )
+        # under band parallelism the engine registers band_axes with the
+        # attention-mesh context; lifting with spmd_axis_name="band" makes
+        # vmap's shard_map batching rule insert "band" into the VMEM
+        # attention kernel's specs — each device runs the kernel on its
+        # LOCAL bands, collective-free (ops/vmem_attention.set_attention_mesh)
+        from irw_tpu.ops.vmem_attention import band_spmd_axis
+
+        spmd_axis = band_spmd_axis()
         cfg = vit_config(self.backbone, **(self.vit_kwargs or {}))
-        # NB: lifted vmap drops kwargs — `train` must ride positionally
-        cls, aux = vmapped_cls(**cfg)(x, train)
+        if spmd_axis is None:
+            vmapped_cls = nn.vmap(
+                VisionTransformer,
+                in_axes=(1, None),
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0, "intermediates": 0},
+                split_rngs={"params": True, "dropout": True},
+            )
+            # NB: lifted vmap drops kwargs — `train` must ride positionally
+            cls, aux = vmapped_cls(**cfg)(x, train)
+        else:
+            # the function form of nn.vmap: flax's spmd_axis_name path
+            # cannot tree-match the static `train` bool against
+            # in_axes=None ("Expected None, got True"), so close over it.
+            # The explicit child name keeps the param path identical to
+            # the class form ("VmapVisionTransformer_0"), which the band
+            # sharding rules key on (parallel/band.is_band_stacked) and
+            # checkpoints embed.
+            def fwd(mdl, xb):
+                return mdl(xb, train)
+
+            vmapped = nn.vmap(
+                fwd,
+                in_axes=(1,),
+                out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0, "intermediates": 0},
+                split_rngs={"params": True, "dropout": True},
+                spmd_axis_name=spmd_axis,
+            )
+            cls, aux = vmapped(
+                VisionTransformer(name="VmapVisionTransformer_0", **cfg), x)
         return jnp.swapaxes(cls, 0, 1), aux  # (B, S, D)
 
 

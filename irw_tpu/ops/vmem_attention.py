@@ -57,12 +57,14 @@ def _interpret_default() -> bool:
 class AttentionMeshCtx(typing.NamedTuple):
     """Multi-device execution contract for the kernel (see
     ``set_attention_mesh``): which mesh axes shard the flattened batch dim
-    and the head dim of the kernel's (B, H, N, hd) layout."""
+    and the head dim of the kernel's (B, H, N, hd) layout, and which mesh
+    axis (if any) shards the *vmapped* band dim above the kernel."""
 
     mesh: typing.Any                 # jax.sharding.Mesh
     batch_axes: tuple                # mesh axes sharding the batch dim
     head_axes: tuple                 # mesh axes sharding the head dim
     band_fallback: bool              # force the stock-attention fallback
+    band_axes: tuple = ()            # mesh axes sharding the vmapped band dim
 
     @property
     def n_batch_shards(self) -> int:
@@ -77,7 +79,7 @@ _MESH_CTX: AttentionMeshCtx | None = None
 
 
 def set_attention_mesh(mesh, batch_axes=("data",), head_axes=(),
-                       band_fallback=False) -> None:
+                       band_fallback=False, band_axes=()) -> None:
     """Declare the device mesh the VMEM attention kernel runs under.
 
     Mosaic custom calls are opaque to GSPMD/Shardy — a multi-device
@@ -91,11 +93,20 @@ def set_attention_mesh(mesh, batch_axes=("data",), head_axes=(),
     attention), N and hd device-local.  ``shard_map`` composes with
     ``vmap`` (the band-vmapped flagship) and ``jax.checkpoint`` (remat).
 
-    ``band_fallback=True`` forces the stock flax attention instead: under
-    band parallelism the band axis is a *vmapped* dim sharded over "band",
-    and shard_map's batching rule would treat it as replicated — an
-    all-gather of every band's activations per layer.  Stock XLA attention
-    stays band-local there, so it wins.
+    ``band_axes=("band",)`` makes the kernel RIDE band parallelism: the
+    band dim of the flagship is a *vmapped* dim (irw_tpu/models/multi_dino.py
+    ``BandedViT``) sharded over "band", and a naive ``vmap`` of the
+    shard_map region would treat it as replicated — an all-gather of every
+    band's activations per layer.  Instead ``BandedViT`` reads
+    ``band_spmd_axis()`` and lifts with ``nn.vmap(spmd_axis_name="band")``:
+    vmap's shard_map batching rule then inserts "band" into the region's
+    in/out specs, so each device's kernel invocation sees only its LOCAL
+    bands folded into the Pallas grid — band-local, collective-free
+    (verified zero all-gathers in the compiled module,
+    tests/test_vmem_attention.py).
+
+    ``band_fallback=True`` forces the stock flax attention instead — kept
+    for pipeline parallelism, which slices the block stack itself.
 
     The context is read at TRACE time: register the mesh before the first
     call of any jitted function that reaches the kernel (already-traced
@@ -104,7 +115,18 @@ def set_attention_mesh(mesh, batch_axes=("data",), head_axes=(),
     """
     global _MESH_CTX
     _MESH_CTX = AttentionMeshCtx(mesh, tuple(batch_axes), tuple(head_axes),
-                                 bool(band_fallback))
+                                 bool(band_fallback), tuple(band_axes))
+
+
+def band_spmd_axis() -> str | None:
+    """The mesh axis name the band-vmapped module stack should pass as
+    ``nn.vmap(spmd_axis_name=...)`` so the kernel's shard_map region shards
+    the band dim instead of gathering it — or None when no mesh context is
+    registered / band parallelism is off (plain ``nn.vmap``)."""
+    ctx = _MESH_CTX
+    if ctx is None or ctx.band_fallback or not ctx.band_axes:
+        return None
+    return ctx.band_axes[0]
 
 
 def clear_attention_mesh() -> None:

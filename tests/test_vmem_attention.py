@@ -257,6 +257,106 @@ def test_sharded_kernel_vmap_band_dim(attention_mesh_ctx):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_band_sharded_kernel_collective_free(attention_mesh_ctx):
+    """The kernel RIDES band parallelism: vmap(spmd_axis_name="band") over
+    the shard_map region makes the batching rule insert "band" into the
+    specs, so each device computes only its LOCAL bands — results exact vs
+    the unsharded reference and ZERO all-gathers in the compiled module
+    (the round-4 design had to fall back to stock attention here)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    _, va = attention_mesh_ctx
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 2, 2),
+                ("data", "band", "model"))
+    rng = np.random.RandomState(3)
+    S, B, N, H, hd = 4, 8, 16, 2, 8
+    q, k, v = (jnp.asarray(rng.randn(S, B, N, H, hd), jnp.float32)
+               for _ in range(3))
+
+    va.clear_attention_mesh()
+    want = np.asarray(jax.vmap(lambda q, k, v: _ref_attention(q, k, v))(q, k, v))
+
+    va.set_attention_mesh(mesh, batch_axes=("data",), head_axes=("model",),
+                          band_axes=("band",))
+    assert va.band_spmd_axis() == "band"
+
+    def banded(q, k, v):
+        return jax.vmap(lambda q, k, v: fused_attention(q, k, v),
+                        spmd_axis_name="band")(q, k, v)
+
+    shard = NamedSharding(mesh, P("band", "data", None, "model", None))
+    qs, ks, vs = (jax.device_put(t, shard) for t in (q, k, v))
+    jitted = jax.jit(banded)
+    got = np.asarray(jitted(qs, ks, vs))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+    compiled = jitted.lower(qs, ks, vs).compile().as_text()
+    assert "all-gather" not in compiled, "band dim was gathered"
+
+    # gradients through the custom VJP keep the same property
+    def loss_banded(q, k, v):
+        return jnp.sum(banded(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jax.vmap(lambda q, k, v: _ref_attention(q, k, v))(q, k, v) ** 2)
+
+    gjit = jax.jit(jax.grad(loss_banded, argnums=(0, 1, 2)))
+    got_g = gjit(qs, ks, vs)
+    want_g = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-5, rtol=2e-5)
+    gtxt = gjit.lower(qs, ks, vs).compile().as_text()
+    assert "all-gather" not in gtxt, "backward gathered the band dim"
+
+
+def test_banded_vit_spmd_axis_engages_kernel(attention_mesh_ctx):
+    """BandedViT (the flagship's lifted band stack) reads band_spmd_axis()
+    and lifts with nn.vmap(spmd_axis_name="band"): a band×data-sharded
+    forward through the REAL model reaches the Pallas kernel (counted via
+    a spy) and matches the unsharded stock-attention forward."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from irw_tpu.models import get_model
+    from irw_tpu.ops import vmem_attention as va
+
+    _, _va = attention_mesh_ctx
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "band"))
+    model = get_model(
+        "multidino_attention_hashing_ortho", backbone="vit_tiny", nbits=8,
+        frozen_backbone=False, vit_kwargs={"vmem_attn": True},
+        fusion_config={"type": "cross_attention_advanced", "output_dim": 32,
+                       "num_queries": 2, "num_heads": 2})
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(4, 4, 32, 32, 3), jnp.float32)
+
+    va.clear_attention_mesh()
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1),
+                            "band_drop": jax.random.PRNGKey(2)}, x, train=False)
+    want, _ = model.apply(variables, x, train=False)
+
+    calls = []
+    orig = va.fused_attention
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    va.set_attention_mesh(mesh, batch_axes=("data",), band_axes=("band",))
+    va.fused_attention, orig_ref = spy, va.fused_attention
+    try:
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", "band")))
+        vr = jax.device_put(variables, NamedSharding(mesh, P()))
+        got, _ = jax.jit(
+            lambda v, t: model.apply(v, t, train=False))(vr, xs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=5e-5)
+    finally:
+        va.fused_attention = orig_ref
+        va.clear_attention_mesh()
+    assert calls, "band-parallel forward never reached the VMEM kernel"
+
+
 def test_mesh_context_fallbacks(attention_mesh_ctx):
     """vmem_attention_fn must fall back to flax attention (not crash) when
     the registered mesh can't take the kernel: non-divisible batch/heads,
