@@ -82,6 +82,7 @@ def main():
     ap.add_argument("--remat-policy", default="dots_no_batch")
     ap.add_argument("--split-cls", action="store_true")
     ap.add_argument("--vmem-attn", action="store_true")
+    ap.add_argument("--ln-fused", action="store_true")
     ap.add_argument("--frozen", action="store_true")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--trace-dir", default=None,
@@ -103,7 +104,8 @@ def main():
 
     step, state, batch, entries = tb.build(
         args.batch, args.frozen, remat_policy=args.remat_policy,
-        split_cls=args.split_cls, vmem_attn=args.vmem_attn)
+        split_cls=args.split_cls, vmem_attn=args.vmem_attn,
+        ln_fused=args.ln_fused)
 
     from irw_tpu.engine.train import _build_hyper
 

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build(batch_size: int, frozen: bool, sub_batch=None, flash=False,
           remat_policy=None, fused_qkv=False, split_cls=False,
-          vmem_attn=False, scan_group=1):
+          vmem_attn=False, scan_group=1, ln_fused=False):
     import jax
     import optax
 
@@ -57,6 +57,8 @@ def build(batch_size: int, frozen: bool, sub_batch=None, flash=False,
         vit_kwargs["vmem_attn"] = True
     if scan_group and scan_group > 1:
         vit_kwargs["scan_group"] = scan_group
+    if ln_fused:
+        vit_kwargs["ln_fused"] = True
     model = get_model(
         "multidino_attention_hashing_ortho",
         backbone="dinov2_vits14",
@@ -155,6 +157,8 @@ def main():
     parser.add_argument("--scan-group", type=int, default=1,
                         help="blocks per remat group (grouped/sqrt remat "
                              "scan; 1 = per-block, the old layout)")
+    parser.add_argument("--ln-fused", action="store_true",
+                        help="stat-free custom-VJP LayerNorm (ops/fused_ln.py)")
     parser.add_argument("--iters", type=int, default=10)
     args = parser.parse_args()
 
@@ -172,7 +176,8 @@ def main():
                                         fused_qkv=args.fused_qkv,
                                         split_cls=args.split_cls,
                                         vmem_attn=args.vmem_attn,
-                                        scan_group=args.scan_group)
+                                        scan_group=args.scan_group,
+                                        ln_fused=args.ln_fused)
     dt, loss0, compile_s = measure(step, state, batch, entries, args.batch,
                                    args.iters)
     ips = args.batch / dt
@@ -193,6 +198,7 @@ def main():
           + (", split_cls" if args.split_cls else "")
           + (", vmem_attn" if args.vmem_attn else "")
           + (f", scan_group={args.scan_group}" if args.scan_group > 1 else "")
+          + (", ln_fused" if args.ln_fused else "")
           + f"]: {dt*1000:.1f} ms/step -> {ips:.0f} img/s"
           f" | MFU {mfu*100:.1f}% of {label}"
           f" ({flops_per_img/1e9:.1f} GFLOP/img analytic)"

@@ -65,10 +65,17 @@ class DomainLayerNorm(nn.Module):
 
     num_domains: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False  # stat-free custom-VJP LayerNorm (ops/fused_ln.py)
 
     @nn.compact
     def __call__(self, x, domain=None):
         if self.num_domains <= 1 or domain is None:
+            if self.fused:
+                from irw_tpu.ops.fused_ln import FusedLayerNorm
+
+                # explicit name keeps the param path identical to the
+                # anonymous nn.LayerNorm child it replaces
+                return FusedLayerNorm(dtype=self.dtype, name="LayerNorm_0")(x)
             return nn.LayerNorm(dtype=self.dtype)(x)
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (self.num_domains, dim))
@@ -324,6 +331,7 @@ class Block(nn.Module):
     exact_gelu: bool = False  # erf GELU for converted-torch-weight parity
     tag_attn_probs: bool = False  # name-tag softmax output for remat policies
     quant_int8: bool = False  # int8 MXU matmuls for qkv/out/mlp (serving only)
+    ln_fused: bool = False  # stat-free custom-VJP LayerNorm (ops/fused_ln.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -332,7 +340,8 @@ class Block(nn.Module):
             raise ValueError("quant_int8 is a serving-only path: the int8 "
                              "quantizer's round() has zero gradient")
         dim = x.shape[-1]
-        y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm1")(x, domain)
+        y = DomainLayerNorm(self.num_domains, dtype=self.dtype,
+                            fused=self.ln_fused, name="norm1")(x, domain)
         if self.quant_int8:
             attn_out = QuantMHA(self.num_heads, dropout=self.dropout,
                                 dtype=self.dtype, name="attn")(y, train=train)
@@ -371,7 +380,8 @@ class Block(nn.Module):
         ls1 = self.param("ls1", nn.initializers.constant(self.layerscale_init),
                          (dim,)).astype(self.dtype)
         x = x + attn_out * ls1
-        y = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm2")(x, domain)
+        y = DomainLayerNorm(self.num_domains, dtype=self.dtype,
+                            fused=self.ln_fused, name="norm2")(x, domain)
         mlp_out = Mlp(int(dim * self.mlp_ratio), dim, self.dropout,
                       exact_gelu=self.exact_gelu, quant_int8=self.quant_int8,
                       dtype=self.dtype)(y, train=train)
@@ -397,6 +407,7 @@ def block_kwargs(vit: "VisionTransformer") -> dict:
         vmem_attn=vit.vmem_attn,
         exact_gelu=vit.exact_gelu,
         quant_int8=vit.quant_int8,
+        ln_fused=vit.ln_fused,
         # name-tag the softmax output only when a *_attn policy will
         # pin it — the name barrier is free numerically but can change
         # XLA fusion decisions, so don't tag unconditionally
@@ -443,6 +454,10 @@ class VisionTransformer(nn.Module):
     # param tree; interpret-mode on CPU — see ops/vmem_attention.py)
     exact_gelu: bool = False  # erf GELU (torch parity); default tanh approx
     quant_int8: bool = False  # int8 MXU serving path (same param tree)
+    ln_fused: bool = False  # stat-free custom-VJP LayerNorm (ops/fused_ln.py):
+    # same param tree/semantics as nn.LayerNorm; backward recomputes the f32
+    # stats inside its own fusion instead of letting XLA spill them (the
+    # round-4 profiler's f32[bands,B,N] copy class)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -592,7 +607,8 @@ class VisionTransformer(nn.Module):
                 tokens = Block(**block_kw)(tokens, train=train, domain=domain)
                 features.append(tokens)
 
-        tokens = DomainLayerNorm(self.num_domains, dtype=self.dtype, name="norm")(
+        tokens = DomainLayerNorm(self.num_domains, dtype=self.dtype,
+                                 fused=self.ln_fused, name="norm")(
             tokens, domain
         )
         cls_out = tokens[:, 0]

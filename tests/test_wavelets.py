@@ -413,9 +413,13 @@ def test_dwt_transform_pipeline_uses_symmetric_default(rng):
 
 def test_pywt_golden_parity():
     """Golden parity vs actual pywt outputs (wavedec2 / swt2, haar, all
-    boundary modes).  The golden file is generated OFFLINE by
-    tools/gen_pywt_golden.py (pywt cannot be installed in this image) and
-    committed; until then this skips with the recipe."""
+    boundary modes).  ENVIRONMENT-BLOCKED in this image: pywt cannot be
+    installed (zero egress — the recorded `pip install PyWavelets` attempt
+    is in benchmarks/PARITY.md), so the operative oracles are the
+    hand-written numpy extension/downsample tests in this file plus golden
+    parity vs the reference's lifting modules.  The golden file is
+    generated OFFLINE by tools/gen_pywt_golden.py on a networked machine
+    and committed; until then this skips."""
     import os
 
     golden_path = os.path.join(os.path.dirname(__file__), "golden",
