@@ -34,7 +34,8 @@ _TRANSIENT_MARKERS = ("UNAVAILABLE", "Unable to initialize backend",
 
 
 def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=8,
-                   dtype="bfloat16", use_pallas=True, quant_int8=False):
+                   dtype="bfloat16", use_pallas=True, quant_int8=False,
+                   vmem_attn=False, ln_fused=False):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +47,8 @@ def build_pipeline(backbone="dinov2_vits14", nbits=64, embed_dim=384, num_heads=
         backbone=backbone,
         nbits=nbits,
         frozen_backbone=True,
-        vit_kwargs={"dtype": dtype, "quant_int8": quant_int8},
+        vit_kwargs={"dtype": dtype, "quant_int8": quant_int8,
+                    "vmem_attn": vmem_attn, "ln_fused": ln_fused},
         fusion_config={
             "type": "cross_attention_advanced",
             "output_dim": embed_dim,

@@ -97,8 +97,10 @@ def _pop_common(kw: dict) -> dict:
         # partitioned by GSPMD/Shardy (jax/_src/tpu_custom_call.py:339-352),
         # so the kernel runs inside a jax.shard_map over the mesh the
         # engine registers via set_attention_mesh (dp over "data", tp heads
-        # over "model"), and falls back to flax attention when no mesh is
-        # registered, under band parallelism, or when shapes don't divide.
+        # over "model", and — round 5 — the vmapped band dim over "band"
+        # via nn.vmap(spmd_axis_name) in BandedViT), falling back to flax
+        # attention when no mesh is registered, under pipeline parallelism,
+        # or when shapes don't divide.
         import jax
 
         vit_kw.setdefault("vmem_attn", jax.default_backend() == "tpu")

@@ -257,6 +257,7 @@ def test_sharded_kernel_vmap_band_dim(attention_mesh_ctx):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_band_sharded_kernel_collective_free(attention_mesh_ctx):
     """The kernel RIDES band parallelism: vmap(spmd_axis_name="band") over
     the shard_map region makes the batching rule insert "band" into the
@@ -309,6 +310,7 @@ def test_band_sharded_kernel_collective_free(attention_mesh_ctx):
     assert "all-gather" not in gtxt, "backward gathered the band dim"
 
 
+@pytest.mark.slow
 def test_banded_vit_spmd_axis_engages_kernel(attention_mesh_ctx):
     """BandedViT (the flagship's lifted band stack) reads band_spmd_axis()
     and lifts with nn.vmap(spmd_axis_name="band"): a band×data-sharded
